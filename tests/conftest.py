@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is tested without TPU hardware the standard way:
+force the host platform and split it into 8 virtual devices
+(SURVEY.md §4: jax.distributed / xla_force_host_platform_device_count).
+"""
+import os
+
+# Force CPU: the session env pins JAX to the TPU tunnel ("axon") via a
+# sitecustomize hook that calls jax.config.update("jax_platforms","axon,cpu")
+# in every interpreter, overriding JAX_PLATFORMS.  Re-update the config after
+# import (backends resolve lazily, so this wins) so unit tests run on the
+# host with 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
