@@ -1,0 +1,107 @@
+"""Exact Euclidean distance transform, fused with the gradient structure.
+
+TPU-native replacement for cv::distanceTransform(255-edges, CV_DIST_L2,
+CV_DIST_MASK_PRECISE) + ImgPyramidRGBD::buildOptimizationStructure
+(imgpyramidrgbd.cpp:241,255-276).  The keyframe "optimization structure" is
+an (H, W, 3) tensor with channels (gx, gy, dt) where
+
+    gx = 0.5 * (dt[y, x-1] - dt[y, x+1])   # NOTE: negated central difference,
+    gy = 0.5 * (dt[y-1, x] - dt[y+1, x])   # exactly as the reference computes
+    dt = Euclidean distance to nearest edge pixel.
+
+(The reference's sign convention is the negative gradient; the GN solver's
+update sign compensates — see optimizer.cpp:258 `b = -ls.b`.)
+
+Algorithm (exact, dense, VPU-friendly — no sequential lower-envelope stack):
+
+1. Column pass: per-column nearest-edge distance via two directional scans
+   (a lax.scan over rows carrying a (W,) running distance).  O(H*W).
+2. Row pass: exact 1-D squared EDT per row, D(x) = min_i ((x-i)^2 + g(i)^2),
+   evaluated as a tiled broadcast-min — O(H*W*W) dense f32 ops, which on TPU
+   is cheap VPU work (~200M ops at 640x480) and runs only per keyframe.
+
+This matches the exact EDT (and cv's MASK_PRECISE) to float tolerance.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+
+
+def _column_distances(edges: jax.Array) -> jax.Array:
+    """Per-pixel vertical distance to the nearest edge in the same column.
+
+    Two directional scans over rows: d[y] = 0 if edge else d[y-1] + 1.
+    Returns float (H, W); _BIG where a column has no edge at all.
+    """
+    e = edges.astype(jnp.bool_)
+
+    def step(carry, row):
+        d = jnp.where(row, 0.0, carry + 1.0)
+        return d, d
+
+    init = jnp.full((edges.shape[1],), _BIG, dtype=jnp.float32)
+    _, down = jax.lax.scan(step, init, e)
+    _, up = jax.lax.scan(step, init, e[::-1])
+    return jnp.minimum(down, up[::-1])
+
+
+def _row_edt_sq(gsq: jax.Array, chunk: int = 128) -> jax.Array:
+    """Exact 1-D squared EDT along rows: D(y,x) = min_i (x-i)^2 + gsq(y,i).
+
+    Tiled over source columns to bound the (H, W, chunk) temporary.
+    """
+    h, w = gsq.shape
+    xs = jnp.arange(w, dtype=jnp.float32)
+    n_chunks = (w + chunk - 1) // chunk
+
+    def body(c, acc):
+        i0 = c * chunk
+        idx = i0 + jnp.arange(chunk)
+        valid = idx < w
+        i_coord = jnp.where(valid, idx, 0).astype(jnp.float32)
+        g = jnp.where(valid, gsq[:, jnp.minimum(idx, w - 1)], _BIG)  # (H, chunk)
+        # (W_out, chunk) horizontal squared offsets + (H, 1, chunk) parabola
+        dx = xs[:, None] - i_coord[None, :]
+        cand = dx[None, :, :] * dx[None, :, :] + g[:, None, :]  # (H, W, chunk)
+        return jnp.minimum(acc, cand.min(axis=-1))
+
+    acc0 = jnp.full((h, w), _BIG, dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+def distance_transform(edges: jax.Array) -> jax.Array:
+    """Exact Euclidean distance (float32, (H, W)) to the nearest edge pixel.
+
+    Matches cv::distanceTransform(255-edges, DIST_L2, DIST_MASK_PRECISE)
+    (imgpyramidrgbd.cpp:241) to float precision; distance is 0 on edges.
+    If the image has no edges at all, returns sqrt(_BIG)-scale values.
+    """
+    g = _column_distances(edges)
+    dsq = _row_edt_sq(jnp.minimum(g * g, _BIG))
+    return jnp.sqrt(dsq)
+
+
+def build_optimization_structure(dt: jax.Array) -> jax.Array:
+    """(H, W) distance transform -> (H, W, 3) tensor (gx, gy, dt).
+
+    Mirrors buildOptimizationStructure (imgpyramidrgbd.cpp:255-276): negated
+    central differences; border rows/cols use clamped neighbors (the
+    reference leaves the first/last row undefined and excludes a 2-px border
+    in the solver, so borders never contribute).
+    """
+    left = jnp.pad(dt, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+    right = jnp.pad(dt, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+    up = jnp.pad(dt, ((1, 0), (0, 0)), mode="edge")[:-1, :]
+    down = jnp.pad(dt, ((0, 1), (0, 0)), mode="edge")[1:, :]
+    gx = 0.5 * (left - right)
+    gy = 0.5 * (up - down)
+    return jnp.stack([gx, gy, dt], axis=-1)
+
+
+def keyframe_structure(edges: jax.Array) -> jax.Array:
+    """Fused DT + gradients: the per-level keyframe tensor (makeKeyframe,
+    imgpyramidrgbd.cpp:231-252)."""
+    return build_optimization_structure(distance_transform(edges))

@@ -1,0 +1,46 @@
+"""Bilinear multi-channel sampling at float coordinates.
+
+Replaces Optimizer::getInterpolatedElement43 (optimizer.h:173-185): sample an
+(H, W, C) tensor at (u, v) with weights computed from the fractional parts,
+using the reference's exact 4-tap formula.  Coordinates are truncated (C-style
+int cast) like the reference; callers guarantee in-bounds coordinates
+(1 < u < W-2, 1 < v < H-2 — optimizer.cpp:100), out-of-bounds lanes must be
+masked by the caller (indices are clamped here only to stay memory-safe).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Sample (H, W, C) ``img`` at float pixel coords (u, v) of shape (N,).
+
+    Returns (N, C).  Weighting matches optimizer.h:173-185:
+        out = dxdy*I[iy+1,ix+1] + (dy-dxdy)*I[iy+1,ix]
+            + (dx-dxdy)*I[iy,ix+1] + (1-dx-dy+dxdy)*I[iy,ix]
+    """
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = u - ix.astype(u.dtype)
+    dy = v - iy.astype(v.dtype)
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+
+    flat = img.reshape(h * w, -1)
+    base = iy * w + ix
+    i00 = jnp.take(flat, base, axis=0)
+    i01 = jnp.take(flat, base + 1, axis=0)
+    i10 = jnp.take(flat, base + w, axis=0)
+    i11 = jnp.take(flat, base + w + 1, axis=0)
+
+    dxdy = (dx * dy)[:, None]
+    dxe = dx[:, None]
+    dye = dy[:, None]
+    return (
+        dxdy * i11
+        + (dye - dxdy) * i10
+        + (dxe - dxdy) * i01
+        + (1.0 - dxe - dye + dxdy) * i00
+    )

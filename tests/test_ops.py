@@ -1,0 +1,251 @@
+"""Oracle tests for revo_tpu.ops against OpenCV (the reference's backend).
+
+SURVEY.md §4: unit-test each kernel against a trusted CPU oracle (OpenCV
+Canny/DT, the reference's own formulas re-implemented in NumPy).
+"""
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from revo_tpu import ops
+
+
+def synthetic_gray(h=120, w=160, seed=0):
+    """Natural-ish test image: smooth blobs + gradients, uint8."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = 40.0 + 30.0 * np.sin(xx / 17.0) + 25.0 * np.cos(yy / 23.0)
+    for _ in range(8):
+        cy_, cx_ = rng.uniform(0, h), rng.uniform(0, w)
+        s = rng.uniform(5, 25)
+        a = rng.uniform(40, 120)
+        img += a * np.exp(-((yy - cy_) ** 2 + (xx - cx_) ** 2) / (2 * s * s))
+    # hard geometric structure for edges
+    img[int(h * 0.3):int(h * 0.6), int(w * 0.2):int(w * 0.5)] += 60
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synthetic_depth(h=120, w=160, seed=1, hole_frac=0.15):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    d = 1.5 + 0.5 * np.sin(xx / 31.0) + 0.3 * np.cos(yy / 19.0)
+    d[rng.random((h, w)) < hole_frac] = 0.0
+    return d.astype(np.float32)
+
+
+class TestFilters:
+    def test_pyr_down_matches_opencv(self):
+        img = synthetic_gray()
+        want = cv2.pyrDown(img).astype(np.float32)
+        got = np.asarray(ops.pyr_down(jnp.asarray(img, jnp.float32)))
+        assert got.shape == want.shape
+        # cv2 uses fixed-point arithmetic; allow off-by-one rounding.
+        assert np.abs(got - want).max() <= 1.0
+        assert (np.abs(got - want) > 0).mean() < 0.02
+
+    def test_gaussian_blur_matches_opencv(self):
+        img = synthetic_gray(seed=3)
+        want = cv2.GaussianBlur(img, (7, 7), 2).astype(np.float32)
+        got = np.asarray(ops.gaussian_blur(jnp.asarray(img, jnp.float32)))
+        assert np.abs(got - want).max() <= 1.0
+
+    def test_sobel_matches_opencv(self):
+        img = synthetic_gray(seed=4)
+        wx = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3)
+        wy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3)
+        gx, gy = ops.sobel(jnp.asarray(img, jnp.float32))
+        np.testing.assert_allclose(np.asarray(gx), wx, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy), wy, atol=1e-3)
+
+
+class TestDepthSubsample:
+    def test_matches_reference_formula(self):
+        d = synthetic_depth()
+        got = np.asarray(ops.subsample_depth_with_holes(jnp.asarray(d)))
+        h2, w2 = d.shape[0] // 2, d.shape[1] // 2
+        want = np.zeros((h2, w2), np.float32)
+        # NumPy re-implementation of filterSubsampleWithHoles
+        # (imgpyramidrgbd.h:228-249)
+        for y in range(h2):
+            for x in range(w2):
+                block = d[2 * y:2 * y + 2, 2 * x:2 * x + 2].ravel()
+                good = block[block > 0]
+                want[y, x] = good.mean() if good.size else 0.0
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestCanny:
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_matches_opencv(self, seed):
+        img = synthetic_gray(h=120, w=160, seed=seed)
+        want = cv2.Canny(img, 150, 100, apertureSize=3, L2gradient=True) > 0
+        got = np.asarray(
+            ops.canny(jnp.asarray(img, jnp.float32), 150.0, 100.0)
+        )
+        inter = (got & want).sum()
+        union = (got | want).sum()
+        assert union > 0
+        iou = inter / union
+        # Same input -> the implementation reproduces OpenCV exactly.
+        assert iou == 1.0, f"IoU {iou:.4f}"
+
+    def test_blurred_input(self):
+        """The DO_GAUSSIAN_SMOOTHING_BEFORE_CANNY path
+        (imgpyramidrgbd.cpp:101-108)."""
+        img = synthetic_gray(seed=7)
+        sm = cv2.GaussianBlur(img, (7, 7), 2)
+        # lower thresholds: smoothing shrinks gradients below the TUM 150/100
+        want = cv2.Canny(sm, 60, 30, apertureSize=3, L2gradient=True) > 0
+        blurred = ops.gaussian_blur(jnp.asarray(img, jnp.float32))
+        got = np.asarray(ops.canny(blurred, 60.0, 30.0))
+        assert want.sum() > 100 and got.sum() > 100
+        # End-to-end (our blur + our canny) vs (cv blur + cv canny): the
+        # blurs differ by <=1 gray level on ~0.5% of pixels, which moves a
+        # few near-threshold edge pixels; with identical input the canny
+        # match is exact (see test_matches_opencv).
+        iou = (got & want).sum() / (got | want).sum()
+        assert iou > 0.75, f"IoU {iou:.3f}"
+        same_input = np.asarray(ops.canny(jnp.asarray(sm, jnp.float32), 60.0, 30.0))
+        assert (same_input == want).all()
+
+    def test_empty_image(self):
+        got = np.asarray(ops.canny(jnp.zeros((64, 64)), 150.0, 100.0))
+        assert not got.any()
+
+
+class TestEDT:
+    def test_matches_opencv_precise(self):
+        img = synthetic_gray(seed=2)
+        edges = cv2.Canny(img, 150, 100, apertureSize=3, L2gradient=True)
+        want = cv2.distanceTransform(
+            255 - edges, cv2.DIST_L2, cv2.DIST_MASK_PRECISE
+        )
+        got = np.asarray(ops.distance_transform(jnp.asarray(edges > 0)))
+        np.testing.assert_allclose(got, want, atol=2e-2)
+
+    def test_single_point(self):
+        e = np.zeros((33, 47), bool)
+        e[10, 20] = True
+        got = np.asarray(ops.distance_transform(jnp.asarray(e)))
+        yy, xx = np.mgrid[0:33, 0:47]
+        want = np.sqrt((yy - 10.0) ** 2 + (xx - 20.0) ** 2)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_gradient_structure_signs(self):
+        """gx/gy are NEGATED central differences (imgpyramidrgbd.cpp:267-274)."""
+        e = np.zeros((32, 32), bool)
+        e[16, 16] = True
+        s = np.asarray(ops.keyframe_structure(jnp.asarray(e)))
+        dt = s[..., 2]
+        # interior check vs reference formula
+        gx_want = 0.5 * (dt[5, 4] - dt[5, 6])
+        gy_want = 0.5 * (dt[4, 5] - dt[6, 5])
+        assert abs(s[5, 5, 0] - gx_want) < 1e-6
+        assert abs(s[5, 5, 1] - gy_want) < 1e-6
+        # to the left of the edge point, dt decreases to the right ->
+        # dt[x-1] > dt[x+1] -> gx positive
+        assert s[16, 10, 0] > 0
+
+
+class TestBilinear:
+    def test_matches_reference_formula(self):
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(20, 30, 3)).astype(np.float32)
+        u = rng.uniform(1, 28, size=50).astype(np.float32)
+        v = rng.uniform(1, 18, size=50).astype(np.float32)
+        got = np.asarray(
+            ops.bilinear_sample(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )
+        for k in range(50):
+            ix, iy = int(u[k]), int(v[k])
+            dx, dy = u[k] - ix, v[k] - iy
+            dxdy = dx * dy
+            want = (
+                dxdy * img[iy + 1, ix + 1]
+                + (dy - dxdy) * img[iy + 1, ix]
+                + (dx - dxdy) * img[iy, ix + 1]
+                + (1 - dx - dy + dxdy) * img[iy, ix]
+            )
+            np.testing.assert_allclose(got[k], want, rtol=2e-5, atol=2e-5)
+
+    def test_integer_coords_exact(self):
+        img = np.arange(12.0, dtype=np.float32).reshape(3, 4, 1)
+        got = np.asarray(
+            ops.bilinear_sample(
+                jnp.asarray(img), jnp.asarray([1.0, 2.0]), jnp.asarray([0.0, 1.0])
+            )
+        )
+        np.testing.assert_allclose(got[:, 0], [1.0, 6.0])
+
+
+class TestBackproject:
+    def test_matches_loop(self):
+        edges = synthetic_gray(seed=8) > 120
+        depth = synthetic_depth(seed=9)
+        fx, fy, cx, cy = 100.0, 102.0, 80.0, 60.0
+        cloud = ops.backproject_edges(
+            jnp.asarray(edges), jnp.asarray(depth), fx, fy, cx, cy,
+            0.1, 5.2, capacity=8192,
+        )
+        # NumPy oracle (imgpyramidrgbd.cpp:203-224)
+        pts = []
+        for yy in range(edges.shape[0]):
+            for xx in range(edges.shape[1]):
+                z = depth[yy, xx]
+                if edges[yy, xx] and np.isfinite(z) and 0.1 < z < 5.2:
+                    pts.append([z * (xx - cx) / fx, z * (yy - cy) / fy, z])
+        want = np.array(pts, np.float32)
+        n = int(cloud.count)
+        assert n == len(want)
+        got = np.asarray(cloud.points)[np.asarray(cloud.valid)]
+        # order-insensitive comparison
+        got_sorted = got[np.lexsort(got.T)]
+        want_sorted = want[np.lexsort(want.T)]
+        np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-5, atol=1e-6)
+
+    def test_capacity_clipping(self):
+        edges = np.ones((16, 16), bool)
+        depth = np.full((16, 16), 1.0, np.float32)
+        cloud = ops.backproject_edges(
+            jnp.asarray(edges), jnp.asarray(depth), 10, 10, 8, 8, 0.1, 5.2,
+            capacity=100,
+        )
+        assert int(cloud.count) == 256
+        assert int(np.asarray(cloud.valid).sum()) == 100
+
+
+class TestEdgeHist:
+    def test_patch_histogram(self):
+        edges = synthetic_gray(seed=10) > 128
+        counts, occ = ops.patch_histogram(jnp.asarray(edges), 10)
+        h, w = edges.shape
+        want = np.zeros((h // 10, w // 10), np.int32)
+        for yy in range(12 * 10):
+            for xx in range(16 * 10):
+                if edges[yy, xx]:
+                    want[yy // 10, xx // 10] += 1
+        np.testing.assert_array_equal(np.asarray(counts), want)
+        assert abs(float(occ) - (want > 0).mean()) < 1e-6
+
+    def test_fill_in(self):
+        rng = np.random.default_rng(11)
+        parent = rng.random((120, 160)) < 0.08
+        child = rng.random((60, 80)) < 0.002
+        counts, _ = ops.patch_histogram(jnp.asarray(child), 10)
+        got = np.asarray(
+            ops.fill_in_edges(
+                jnp.asarray(child), jnp.asarray(parent), counts,
+                patch_size=10, parent_patch_size=20,
+            )
+        )
+        # NumPy oracle (imgpyramidrgbd.cpp:130-140)
+        want = child.copy()
+        counts_np = np.asarray(counts)
+        for yy in range(120):
+            for xx in range(160):
+                if yy % 2 == 1 and xx % 2 == 1:
+                    if counts_np[yy // 20, xx // 20] < 100 * 0.05:
+                        if parent[yy, xx]:
+                            want[yy // 2, xx // 2] = True
+        np.testing.assert_array_equal(got, want)
