@@ -1,0 +1,121 @@
+"""Per-frame front end: RGB-D -> pyramid of gray/depth/edges/edge clouds.
+
+TPU-native replacement for ImgPyramidRGBD (imgpyramidrgbd.cpp:43-229): one
+jitted function turns a full-resolution RGB(-D) pair into a fixed-shape
+``Frame`` pytree.  Per level (addLevelEdge): Canny edges, BMVC17 fill-in when
+patch occupancy is low, and back-projection of edge pixels with valid depth
+into a fixed-capacity 3-D cloud.  Levels >0 come from pyrDown gray + valid
+-pixel depth subsampling (imgpyramidrgbd.cpp:75-92).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import ops
+from revo_tpu.config import SystemConfig
+from revo_tpu.ops.backproject import EdgeCloud
+
+
+class FrameLevel(NamedTuple):
+    """Per-pyramid-level data of one frame."""
+
+    gray: jax.Array  # (H, W) float32, uint8-valued
+    depth: jax.Array  # (H, W) float32 metres, 0 = invalid
+    edges: jax.Array  # (H, W) bool, after fill-in (edgesPyr)
+    edges_orig: jax.Array  # (H, W) bool, before fill-in (edgesOrigPyr)
+    cloud: EdgeCloud  # fixed-capacity 3-D edge points (camera frame)
+
+
+class Frame(NamedTuple):
+    levels: Tuple[FrameLevel, ...]
+    timestamp: jax.Array  # () float64-as-float32 pair not needed; host keeps ts
+
+
+def rgb_to_gray(rgb: jax.Array) -> jax.Array:
+    """OpenCV BGR(A)2GRAY weights (imgpyramidrgbd.cpp:53), RGB channel order
+    input: Y = 0.299 R + 0.587 G + 0.114 B, rounded to uint8 levels."""
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+    return jnp.round(0.299 * r + 0.587 * g + 0.114 * b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
+    """Build the full pyramid from full-res gray (uint8-valued f32) + depth.
+
+    Mirrors the ImgPyramidRGBD ctor (imgpyramidrgbd.cpp:43-96) with static
+    shapes; ``cfg`` is a hashable static argument so each config compiles
+    once.
+    """
+    pyr = cfg.pyramid
+    cams = cfg.camera_pyramid()
+    levels = []
+    g, d = gray, depth
+    prev_edges = None
+    for lvl in range(pyr.n_levels):
+        cam = cams[lvl]
+        if pyr.gaussian_before_canny:
+            canny_in = ops.gaussian_blur(g)
+        else:
+            canny_in = g
+        edges = ops.canny(canny_in, pyr.canny_threshold1, pyr.canny_threshold2)
+        edges_orig = edges
+        patch = pyr.dist_patch_sizes[lvl]
+        counts, occupancy = ops.patch_histogram(edges, patch)
+        if pyr.use_edge_hist and lvl > 0:
+            # Fill-in is itself data-dependent (occupancy < nPercentage,
+            # imgpyramidrgbd.cpp:188-196); keep it branchless with where.
+            filled = ops.fill_in_edges(
+                edges,
+                prev_edges,
+                counts,
+                patch,
+                pyr.dist_patch_sizes[lvl - 1],
+            )
+            edges = jnp.where(occupancy < pyr.n_percentage, filled, edges)
+        cloud = ops.backproject_edges(
+            edges,
+            d,
+            cam.fx,
+            cam.fy,
+            cam.cx,
+            cam.cy,
+            pyr.depth_min,
+            pyr.depth_max,
+            pyr.edge_capacity[lvl],
+        )
+        levels.append(
+            FrameLevel(
+                gray=g, depth=d, edges=edges, edges_orig=edges_orig, cloud=cloud
+            )
+        )
+        prev_edges = edges
+        if lvl + 1 < pyr.n_levels:
+            g = ops.pyr_down(g)
+            d = ops.subsample_depth_with_holes(d)
+    return Frame(levels=tuple(levels), timestamp=jnp.float32(0.0))
+
+
+class Keyframe(NamedTuple):
+    """Keyframe = frame + per-level DT/gradient structures + world pose.
+
+    Mirrors makeKeyframe (imgpyramidrgbd.cpp:231-252) + setTwf
+    (imgpyramidrgbd.h:126-137).
+    """
+
+    structs: Tuple[jax.Array, ...]  # per level (H, W, 3): (gx, gy, dt)
+    frame: Frame
+    T_w_k: jax.Array  # (4, 4) keyframe-to-world
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def make_keyframe(frame: Frame, T_w_k: jax.Array, cfg: SystemConfig) -> Keyframe:
+    structs = tuple(
+        ops.keyframe_structure(lv.edges) for lv in frame.levels
+    )
+    return Keyframe(structs=structs, frame=frame, T_w_k=T_w_k)

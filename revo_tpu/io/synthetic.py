@@ -1,0 +1,191 @@
+"""Synthetic textured RGB-D scene renderer with ground-truth poses.
+
+There is no TUM data on this machine (zero egress), so correctness and
+benchmark sequences are rendered: a camera moves through a scene of textured
+planes; per pixel we raycast to the nearest plane, sample a procedural
+texture (sharp grid + blobs -> strong Canny edges) and record metric depth.
+This plays the role of the reference's TUM dataset input
+(iowrapperRGBD.cpp:257-333) for tests and for bench.py, with exact
+ground-truth trajectories for ATE gates.
+
+Pure NumPy on the host — this is data generation, not the compute path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from revo_tpu.config import CameraConfig
+
+
+@dataclasses.dataclass
+class Plane:
+    """Textured plane: n . X = d, with texture axes (a1, a2) in-plane.
+
+    ``bounds`` optionally clips the plane to a rectangle in (u, v) texture
+    coordinates — used for near objects that create depth parallax."""
+
+    n: np.ndarray  # (3,) unit normal
+    d: float
+    a1: np.ndarray  # (3,) texture u axis
+    a2: np.ndarray  # (3,) texture v axis
+    phase: float = 0.0
+    bounds: Tuple[float, float, float, float] | None = None  # ulo,uhi,vlo,vhi
+
+
+def _default_planes() -> List[Plane]:
+    """A loose 'room': back wall, floor, side wall — all textured."""
+    return [
+        Plane(  # back wall z = 3.2
+            n=np.array([0.0, 0.0, 1.0]),
+            d=3.2,
+            a1=np.array([1.0, 0.0, 0.0]),
+            a2=np.array([0.0, 1.0, 0.0]),
+            phase=0.0,
+        ),
+        Plane(  # floor y = 1.0 (camera looks slightly down at it)
+            n=np.array([0.0, 1.0, 0.0]),
+            d=1.0,
+            a1=np.array([1.0, 0.0, 0.0]),
+            a2=np.array([0.0, 0.0, 1.0]),
+            phase=1.3,
+        ),
+        Plane(  # side wall x = 1.6
+            n=np.array([1.0, 0.0, 0.0]),
+            d=1.6,
+            a1=np.array([0.0, 1.0, 0.0]),
+            a2=np.array([0.0, 0.0, 1.0]),
+            phase=2.1,
+        ),
+        Plane(  # near "table top": bounded plane at z = 1.5 (parallax)
+            n=np.array([0.0, 0.0, 1.0]),
+            d=1.5,
+            a1=np.array([1.0, 0.0, 0.0]),
+            a2=np.array([0.0, 1.0, 0.0]),
+            phase=0.6,
+            bounds=(-0.55, 0.15, -0.05, 0.55),
+        ),
+        Plane(  # near panel on the left at z = 1.1
+            n=np.array([0.0, 0.0, 1.0]),
+            d=1.1,
+            a1=np.array([1.0, 0.0, 0.0]),
+            a2=np.array([0.0, 1.0, 0.0]),
+            phase=3.0,
+            bounds=(-0.75, -0.35, -0.45, 0.05),
+        ),
+    ]
+
+
+def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
+    """Procedural gray texture in [0, 255]: sharp grid lines + smooth blobs.
+
+    tanh-sharpened sinusoid grid gives clean, well-localized Canny edges at
+    multiple scales, like the furniture edges REVO tracks on TUM desks.
+    """
+    g1 = np.tanh(6.0 * np.sin(2 * np.pi * u / 0.50 + phase))
+    g2 = np.tanh(6.0 * np.sin(2 * np.pi * v / 0.50 + 0.7 * phase))
+    grid = g1 * g2
+    blob = np.sin(2 * np.pi * u / 1.7 + 2 * phase) * np.cos(
+        2 * np.pi * v / 2.3
+    )
+    fine = np.tanh(5.0 * np.sin(2 * np.pi * (u + v) / 0.21 + phase))
+    tex = 120.0 + 55.0 * grid + 25.0 * blob + 20.0 * fine * (blob > 0.3)
+    return np.clip(tex, 0.0, 255.0)
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    """Scene + trajectory generator."""
+
+    planes: List[Plane] = dataclasses.field(default_factory=_default_planes)
+    depth_noise: float = 0.0  # metres, gaussian
+    depth_hole_frac: float = 0.0
+
+    def trajectory(self, n_frames: int, seed: int = 0,
+                   translation_step: float = 0.008,
+                   rotation_step: float = 0.003) -> np.ndarray:
+        """Smooth random-walk trajectory of T_w_c (world-from-camera),
+        (N, 4, 4).  Steps are TUM-handheld-scale (~0.8 cm, ~0.17 deg)."""
+        from revo_tpu import lie  # local import: host-side numpy + jax lie
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        # Smooth velocity: low-pass filtered white noise.
+        xi_steps = rng.normal(size=(n_frames - 1, 6)).astype(np.float32)
+        for i in range(1, len(xi_steps)):
+            xi_steps[i] = 0.9 * xi_steps[i - 1] + 0.1 * xi_steps[i]
+        xi_steps[:, :3] *= translation_step
+        xi_steps[:, 3:] *= rotation_step
+
+        poses = [np.eye(4, dtype=np.float32)]
+        for xi in xi_steps:
+            dR, dt = lie.exp_se3(jnp.asarray(xi))
+            dT = np.asarray(lie.matrix_from_rt(dR, dt))
+            poses.append(poses[-1] @ dT)
+        return np.stack(poses)
+
+
+def render_frame(
+    scene: SyntheticScene,
+    cam: CameraConfig,
+    T_w_c: np.ndarray,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render (gray uint8-valued f32, depth f32 metres) for camera pose
+    T_w_c.  Per pixel: raycast to the nearest plane intersection with t>0."""
+    h, w = cam.height, cam.width
+    R = T_w_c[:3, :3].astype(np.float64)
+    o = T_w_c[:3, 3].astype(np.float64)
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    d_cam = np.stack(
+        [
+            (xx - cam.cx) / cam.fx,
+            (yy - cam.cy) / cam.fy,
+            np.ones_like(xx, dtype=np.float64),
+        ],
+        axis=-1,
+    )  # (h, w, 3); z-component 1 -> ray param t == camera depth
+    d_world = d_cam @ R.T
+
+    best_t = np.full((h, w), np.inf)
+    gray = np.full((h, w), 30.0)
+    for pl in scene.planes:
+        denom = d_world @ pl.n
+        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        t = (pl.d - o @ pl.n) / denom
+        hit = (t > 0.05) & (t < best_t)
+        X = o[None, None, :] + t[..., None] * d_world
+        u = X @ pl.a1
+        v = X @ pl.a2
+        if pl.bounds is not None:
+            ulo, uhi, vlo, vhi = pl.bounds
+            hit = hit & (u >= ulo) & (u <= uhi) & (v >= vlo) & (v <= vhi)
+        tex = _texture(u, v, pl.phase)
+        gray = np.where(hit, tex, gray)
+        best_t = np.where(hit, t, best_t)
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+    if scene.depth_noise > 0 or scene.depth_hole_frac > 0:
+        rng = np.random.default_rng(seed)
+        if scene.depth_noise > 0:
+            depth = depth + rng.normal(
+                scale=scene.depth_noise, size=depth.shape
+            ).astype(np.float32) * (depth > 0)
+        if scene.depth_hole_frac > 0:
+            depth = np.where(
+                rng.random(depth.shape) < scene.depth_hole_frac, 0.0, depth
+            )
+    return np.round(np.clip(gray, 0, 255)).astype(np.float32), depth
+
+
+def render_sequence(
+    scene: SyntheticScene, cam: CameraConfig, n_frames: int, seed: int = 0
+):
+    """Yield (gray, depth, T_w_c, timestamp) for a smooth trajectory."""
+    traj = scene.trajectory(n_frames, seed=seed)
+    for i, T in enumerate(traj):
+        gray, depth = render_frame(scene, cam, T, seed=seed * 1000 + i)
+        yield gray, depth, T, float(i) / 30.0

@@ -1,0 +1,284 @@
+"""SE(3) Gauss-Newton/Levenberg-Marquardt solver over distance-transform
+residuals — the hot path.
+
+TPU-native replacement for Optimizer::trackFrames / calcErrorAndBuffers /
+calculateWarpUpdate + the lsd_slam::LGS6 accumulators
+(optimizer.cpp:74-311, utils/LGSX.h:329-398).  Design (SURVEY.md §7):
+
+- The per-point residual pass is dense fixed-shape vector math over the
+  (P, 3) edge cloud: transform, project, bilinear-sample the keyframe's
+  (gx, gy, dt) structure, Huber-weight, mask.
+- The 6x6 normal equations replace the SSE rank-1 accumulation with one
+  matmul: A = (w o J)^T J, g = J^T (w o r) — MXU work at full f32 precision.
+- The LM accept/reject schedule (lambda *= 0.5 on success, *= 2^incTry on
+  failure, convergence on err/lastErr > eps or |inc|^2 <= stepMin,
+  optimizer.cpp:250-307) runs as nested lax.while_loops, entirely on device.
+
+Sign conventions follow the reference exactly: the keyframe structure stores
+*negated* central differences (imgpyramidrgbd.cpp:267-274), and the update
+solves inc = (A + lambda diag(A))^{-1} (sum w J r / n) which is descent under
+that sign (optimizer.cpp:258 ``b = -ls.b``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import lie
+from revo_tpu.config import CameraConfig, OptimizerConfig
+from revo_tpu.ops.backproject import EdgeCloud
+from revo_tpu.ops.interp import bilinear_sample
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class ResidualInfo(NamedTuple):
+    """Optimizer::ResidualInfo (optimizer.h:118-140)."""
+
+    good: jax.Array  # () int32 goodPtsEdges
+    bad: jax.Array  # () int32 badPtsEdges (out of bounds + edge-filtered)
+    sum_error_weighted: jax.Array  # () f32
+    sum_error_unweighted: jax.Array  # () f32
+
+
+class LevelSystem(NamedTuple):
+    """One evaluation: mean error + normalized 6x6 normal equations."""
+
+    err: jax.Array  # () f32: sumErrorWeighted / good
+    A: jax.Array  # (6, 6) = sum(w J J^T) / good
+    g: jax.Array  # (6,) = sum(w J r) / good  (the reference's -ls.b/n)
+    info: ResidualInfo
+
+
+def residual_system(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R: jax.Array,
+    t: jax.Array,
+    edge_distance: float,
+    huber: float,
+    use_edge_filter: bool,
+) -> LevelSystem:
+    """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
+
+    (optimizer.cpp:74-191, 192-234).  All P lanes compute; masks zero the
+    invalid ones so the normal equations match the reference's
+    good-points-only accumulation divided by the good count (LGSX.h:320-326).
+    """
+    pts = cloud.points  # (P, 3)
+    w_img, h_img = cam.width, cam.height
+
+    wxp = pts @ R.T + t  # (P, 3)
+    px, py, pz = wxp[:, 0], wxp[:, 1], wxp[:, 2]
+    pz_safe = jnp.where(pz == 0, 1e-12, pz)
+    u = px / pz_safe * cam.fx + cam.cx
+    v = py / pz_safe * cam.fy + cam.cy
+    # Bounds check incl. NaN rejection via inverse test (optimizer.cpp:100).
+    in_bounds = (u > 1.0) & (v > 1.0) & (u < w_img - 2.0) & (v < h_img - 2.0)
+    in_bounds = in_bounds & cloud.valid
+
+    samp = bilinear_sample(struct, u, v)  # (P, 3): gx, gy, dt
+    r = samp[:, 2]
+    gx = cam.fx * samp[:, 0]
+    gy = cam.fy * samp[:, 1]
+
+    if use_edge_filter:
+        pass_filter = r <= edge_distance  # optimizer.cpp:108
+    else:
+        pass_filter = jnp.ones_like(r, dtype=bool)
+    good = in_bounds & pass_filter
+    bad = (cloud.valid & ~good).sum().astype(jnp.int32)
+    n_good = good.sum().astype(jnp.int32)
+
+    # Huber-style weight (optimizer.h:156-160): w = 1 for r <= huber else
+    # huber / r (r is a distance, always >= 0).
+    r_safe = jnp.where(r == 0, 1.0, r)
+    w_r = jnp.where(r <= huber, 1.0, huber / r_safe)
+
+    # 6-dof Jacobian per point (optimizer.cpp:216-228, Kerl MSc p.34;
+    # fx/fy premultiplied onto the gradient).
+    iz = 1.0 / pz_safe
+    iz2 = iz * iz
+    J = jnp.stack(
+        [
+            iz * gx,
+            iz * gy,
+            (-px * iz2) * gx + (-py * iz2) * gy,
+            (-px * py * iz2) * gx - (1.0 + py * py * iz2) * gy,
+            (1.0 + px * px * iz2) * gx + (px * py * iz2) * gy,
+            (-py * iz) * gx + (px * iz) * gy,
+        ],
+        axis=-1,
+    )  # (P, 6)
+
+    gm = good.astype(jnp.float32)
+    wg = w_r * gm
+    n = jnp.maximum(n_good, 1).astype(jnp.float32)
+    A = jnp.einsum("pi,pj->ij", J * wg[:, None], J, precision=_PREC) / n
+    gvec = jnp.einsum("pi,p->i", J, wg * r, precision=_PREC) / n
+    sum_w = jnp.sum(wg * r * r)
+    sum_unw = jnp.sum(gm * r * r)
+    err = sum_w / n
+    return LevelSystem(
+        err=err,
+        A=A,
+        g=gvec,
+        info=ResidualInfo(
+            good=n_good,
+            bad=bad,
+            sum_error_weighted=sum_w,
+            sum_error_unweighted=sum_unw,
+        ),
+    )
+
+
+class _LMState(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    sys: LevelSystem  # system at the last *evaluated* pose (== last accepted)
+    last_err: jax.Array
+    lam: jax.Array
+    iteration: jax.Array  # int32; set to max_its to terminate early
+
+
+def lm_level(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R0: jax.Array,
+    t0: jax.Array,
+    opt: OptimizerConfig,
+    lvl: int,
+    max_inner: int = 32,
+):
+    """One pyramid level of LM (Optimizer::trackFrames, optimizer.cpp:235-311).
+
+    Returns (R, t, last_err, info).  ``max_inner`` bounds the reference's
+    unbounded inner retry loop (lambda doubles per retry, so the step shrinks
+    below stepSizeMin long before 32 tries).
+    """
+    max_its = opt.max_its_per_lvl[lvl]
+    edge_dist = opt.edge_distance_lvl[lvl]
+    conv_eps = opt.convergence_eps[lvl]
+    step_min = opt.step_size_min[lvl]
+
+    def evaluate(R, t):
+        return residual_system(
+            struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
+            opt.use_edge_filter,
+        )
+
+    sys0 = evaluate(R0, t0)
+    state0 = _LMState(
+        R=R0,
+        t=t0,
+        sys=sys0,
+        last_err=sys0.err,
+        lam=jnp.float32(opt.lambda_initial[lvl]),
+        iteration=jnp.int32(0),
+    )
+
+    class Inner(NamedTuple):
+        state: _LMState
+        inc_try: jax.Array
+        done: jax.Array
+
+    def outer_cond(st: _LMState):
+        return st.iteration < max_its
+
+    def outer_body(st: _LMState):
+        A = st.sys.A
+        g = st.sys.g
+
+        def inner_cond(inn: Inner):
+            return (~inn.done) & (inn.inc_try < max_inner)
+
+        def inner_body(inn: Inner):
+            s = inn.state
+            # Damped solve: A(i,i) *= 1 + lambda (optimizer.cpp:261-262).
+            Ad = A + jnp.diag(jnp.diag(A) * s.lam)
+            inc = jnp.linalg.solve(Ad, g)
+            inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
+            inc_try = inn.inc_try + 1
+            dR, dt_ = lie.exp_se3(inc)
+            Rn, tn = lie.compose(dR, dt_, s.R, s.t)
+            sys_n = evaluate(Rn, tn)
+            err = sys_n.err
+
+            accept = err < s.last_err
+            # On accept: converged if err/lastErr > eps -> iteration = max.
+            converged = err / jnp.maximum(s.last_err, 1e-30) > conv_eps
+            it_acc = jnp.where(converged, max_its, s.iteration)
+            lam_acc = jnp.where(
+                s.lam <= 0.2, 0.0, s.lam * opt.lambda_success_fac
+            )
+            # On reject: stop level if |inc|^2 <= stepMin, else raise lambda
+            # by failFac^incTry (optimizer.cpp:294-303).
+            small_step = ~(jnp.dot(inc, inc) > step_min)
+            it_rej = jnp.where(small_step, max_its, s.iteration)
+            lam_rej = jnp.where(
+                s.lam == 0.0,
+                0.2,
+                s.lam * opt.lambda_fail_fac ** inc_try.astype(jnp.float32),
+            )
+
+            new_state = _LMState(
+                R=jnp.where(accept, Rn, s.R),
+                t=jnp.where(accept, tn, s.t),
+                sys=jax.tree.map(
+                    lambda a, b: jnp.where(accept, a, b), sys_n, s.sys
+                ),
+                last_err=jnp.where(accept, err, s.last_err),
+                lam=jnp.where(accept, lam_acc, lam_rej),
+                iteration=jnp.where(accept, it_acc, it_rej),
+            )
+            done = accept | small_step
+            return Inner(state=new_state, inc_try=inc_try, done=done)
+
+        inn0 = Inner(
+            state=st, inc_try=jnp.int32(0), done=jnp.array(False)
+        )
+        inn = jax.lax.while_loop(inner_cond, inner_body, inn0)
+        s = inn.state
+        return _LMState(
+            R=s.R,
+            t=s.t,
+            sys=s.sys,
+            last_err=s.last_err,
+            lam=s.lam,
+            iteration=jnp.minimum(s.iteration + 1, jnp.int32(max_its)),
+        )
+
+    final = jax.lax.while_loop(outer_cond, outer_body, state0)
+    return final.R, final.t, final.last_err, final.sys.info
+
+
+def eval_cost(
+    dt_img: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R: jax.Array,
+    t: jax.Array,
+    edge_distance: float,
+    use_edge_filter: bool,
+) -> jax.Array:
+    """TrackerNew::evalCostFunction (tracker.cpp:356-393): sum of
+    floor-sampled DT values over in-bounds points, with the edge filter."""
+    pts = cloud.points
+    wxp = pts @ R.T + t
+    pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
+    u = wxp[:, 0] / pz * cam.fx + cam.cx
+    v = wxp[:, 1] / pz * cam.fy + cam.cy
+    inb = (u >= 0) & (v >= 0) & (u < cam.width) & (v < cam.height)
+    inb = inb & cloud.valid
+    ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cam.width - 1)
+    vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, cam.height - 1)
+    res = dt_img[vi, ui]
+    if use_edge_filter:
+        ok = inb & (res <= edge_distance)
+    else:
+        ok = inb
+    return jnp.sum(jnp.where(ok, res, 0.0))

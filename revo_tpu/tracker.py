@@ -1,0 +1,206 @@
+"""Coarse-to-fine SE(3) tracker + keyframe-selection logic.
+
+TPU-native replacement for TrackerNew (system/tracker.cpp): the coarse-to-
+fine LM driver (trackFrames, tracker.cpp:294-353), the init-guess sanity
+check (checkInitializationValues, tracker.cpp:265-283) and the IROS17
+histogram-voting keyframe test (assessTrackingQuality, tracker.cpp:118-201)
+as scatter/bincount kernels.  Everything jits; the past-frame ring buffer is
+a fixed-shape pytree.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import lie, solver
+from revo_tpu.config import SystemConfig
+from revo_tpu.frontend import Frame, Keyframe
+
+
+class TrackResult(NamedTuple):
+    R: jax.Array  # (3, 3) keyframe->current rotation
+    t: jax.Array  # (3,)
+    error: jax.Array  # () final mean weighted error
+    good: jax.Array  # () int32
+    bad: jax.Array  # () int32
+    new_kf: jax.Array  # () bool: good/bad < 4 (tracker.cpp:351)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_frames(
+    kf: Keyframe, frame: Frame, R0: jax.Array, t0: jax.Array, cfg: SystemConfig
+) -> TrackResult:
+    """TrackerNew::trackFrames (tracker.cpp:294-353): init check, then LM
+    from PYR_MIN_LVL (coarse) down to PYR_MAX_LVL (fine)."""
+    pyr = cfg.pyramid
+    opt = cfg.tracker.optimizer
+    cams = cfg.camera_pyramid()
+
+    R, t = R0, t0
+    if cfg.tracker.check_init_values:
+        min_lvl = pyr.pyr_min_lvl
+        cloud = frame.levels[min_lvl].cloud
+        dt_img = kf.structs[min_lvl][..., 2]
+        cost_eye = solver.eval_cost(
+            dt_img, cloud, cams[min_lvl], jnp.eye(3), jnp.zeros(3),
+            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter,
+        )
+        cost_init = solver.eval_cost(
+            dt_img, cloud, cams[min_lvl], R, t,
+            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter,
+        )
+        # "DO NOT INIT WITH PREVIOUS TRANSFORM" (tracker.cpp:277-282).
+        use_eye = cost_eye < cost_init
+        R = jnp.where(use_eye, jnp.eye(3), R)
+        t = jnp.where(use_eye, jnp.zeros(3), t)
+
+    err = jnp.float32(jnp.inf)
+    info = None
+    for lvl in range(pyr.pyr_min_lvl, pyr.pyr_max_lvl - 1, -1):
+        R, t, err, info = solver.lm_level(
+            kf.structs[lvl],
+            frame.levels[lvl].cloud,
+            cams[lvl],
+            R,
+            t,
+            opt,
+            lvl,
+        )
+    good_f = info.good.astype(jnp.float32)
+    bad_f = jnp.maximum(info.bad, 1).astype(jnp.float32)
+    new_kf = (good_f / bad_f) < cfg.tracker.good_bad_ratio_new_kf
+    return TrackResult(
+        R=R, t=t, error=err, good=info.good, bad=info.bad, new_kf=new_kf
+    )
+
+
+class PastFrames(NamedTuple):
+    """Ring buffer of the last K frames' histogram-level edge clouds + world
+    poses (TrackerNew::mPastPcl/mPastWorldPoses, tracker.h:92-94).
+
+    Slot 0 is the oldest.  ``n`` counts valid slots (<= K).
+    """
+
+    points: jax.Array  # (K, P, 3) camera-frame points at histogram level
+    valid: jax.Array  # (K, P) bool
+    poses: jax.Array  # (K, 4, 4) world poses T_w_cam
+    n: jax.Array  # () int32
+
+
+def empty_past(k: int, capacity: int) -> PastFrames:
+    return PastFrames(
+        points=jnp.zeros((k, capacity, 3), jnp.float32),
+        valid=jnp.zeros((k, capacity), bool),
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
+        n=jnp.int32(0),
+    )
+
+
+@jax.jit
+def push_past(past: PastFrames, points, valid, pose_w) -> PastFrames:
+    """addOldPclAndPose with the clearUpPastLists trim folded in: keep the
+    most recent K entries (tracker.cpp:209-223, 248-257 — the reference
+    trims only on keyframe switch; bounding always fixes its unbounded
+    -memory growth, SURVEY.md §5 'long-context')."""
+    k = past.points.shape[0]
+    full = past.n >= k
+    # When full: shift left (drop oldest); else append at slot n.
+    def shifted(arr, new):
+        rolled = jnp.roll(arr, -1, axis=0)
+        return rolled.at[k - 1].set(new)
+
+    def appended(arr, new):
+        return arr.at[jnp.minimum(past.n, k - 1)].set(new)
+
+    points_new = jnp.where(
+        full, shifted(past.points, points), appended(past.points, points)
+    )
+    valid_new = jnp.where(
+        full, shifted(past.valid, valid), appended(past.valid, valid)
+    )
+    poses_new = jnp.where(
+        full, shifted(past.poses, pose_w), appended(past.poses, pose_w)
+    )
+    return PastFrames(
+        points=points_new,
+        valid=valid_new,
+        poses=poses_new,
+        n=jnp.minimum(past.n + 1, k),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def assess_tracking_quality(
+    past: PastFrames,
+    est_pose_w: jax.Array,
+    frame: Frame,
+    cfg: SystemConfig,
+) -> jax.Array:
+    """IROS17 histogram voting (assessTrackingQuality, tracker.cpp:118-201).
+
+    Projects the last K past edge clouds into the current frame with the
+    estimated pose, builds the counting map M = sum_i M_i (M_i binary via a
+    max-scatter), then histograms M over valid-depth pixels and compares the
+    weighted overlap measure with the zero-overlap count.  Returns new_kf
+    bool.
+    """
+    trk = cfg.tracker
+    lvl = trk.histogram_level
+    cam = cfg.camera_pyramid()[lvl]
+    h, w = cam.height, cam.width
+    k = past.points.shape[0]
+
+    inv_est = jnp.linalg.inv(est_pose_w)
+
+    def project_one(slot):
+        T = inv_est @ past.poses[slot]  # past-cam -> current-cam
+        R, t = T[:3, :3], T[:3, 3]
+        pts = past.points[slot]
+        wxp = pts @ R.T + t
+        pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
+        u = wxp[:, 0] / pz * cam.fx + cam.cx
+        v = wxp[:, 1] / pz * cam.fy + cam.cy
+        inb = (u >= 0) & (v >= 0) & (u < w) & (v < h) & past.valid[slot]
+        # slot must be an active ring entry
+        active = slot < past.n
+        inb = inb & active
+        lin = jnp.floor(v).astype(jnp.int32) * w + jnp.floor(u).astype(
+            jnp.int32
+        )
+        lin = jnp.where(inb, lin, h * w)  # spill OOB marks to a pad slot
+        m_i = jnp.zeros(h * w + 1, jnp.int32).at[lin].max(
+            jnp.where(inb, 1, 0)
+        )
+        return m_i[: h * w]
+
+    m = jnp.sum(
+        jax.vmap(project_one)(jnp.arange(k)), axis=0
+    ).reshape(h, w)  # counting map M, values 0..K
+
+    depth = frame.levels[lvl].depth
+    valid_depth = (
+        jnp.isfinite(depth)
+        & (depth > cfg.pyramid.depth_min)
+        & (depth < cfg.pyramid.depth_max)
+    )
+    edges = frame.levels[lvl].edges_orig  # returnOrigEdges (tracker.cpp:122)
+
+    histogram = jnp.bincount(
+        m.ravel(), weights=valid_depth.ravel().astype(jnp.float32),
+        length=k + 1,
+    )
+    overlaps = jnp.bincount(
+        m.ravel(),
+        weights=(valid_depth & edges).ravel().astype(jnp.float32),
+        length=k + 1,
+    )
+    weights = jnp.asarray(trk.hist_weights, jnp.float32)[: k + 1]
+    overlap_measure = jnp.sum(overlaps[1:] * weights[1:])
+    # New KF iff weighted overlap < zero-overlap count, and only once K past
+    # frames exist (histogram.size() < 4 guard, tracker.cpp:184).
+    enough = past.n >= k
+    new_kf = (overlap_measure < overlaps[0]) & enough
+    return new_kf
