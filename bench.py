@@ -1,0 +1,225 @@
+"""Benchmark: tracked frames/s of the flagship 640x480 tracking step.
+
+Run on the real TPU chip (the session's default JAX platform).  Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol
+- Pre-render N synthetic 640x480 RGB-D frames (host, NumPy) along a smooth
+  trajectory; build frames + a keyframe on device.
+- Steady-state timing of the full per-frame tracking work (pyramid build +
+  coarse-to-fine LM track) over the pre-rendered inputs, after warmup.
+
+Baseline denominator
+- The reference (REVO, single CPU core + SSE) publishes no numbers
+  (BASELINE.md); its per-frame cost on this protocol is approximated by an
+  OpenCV-backed CPU implementation of the identical pipeline (cv2.Canny +
+  cv2.distanceTransform L2/PRECISE + NumPy GN with the same LM schedule),
+  measured here on one process.  vs_baseline = tpu_fps / cpu_oracle_fps.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+N_FRAMES = 8
+N_TIMED = 24  # timed tracking calls (cycled over pre-built frames)
+MAX_SECONDS = 420.0
+
+
+def _build_inputs(cfg):
+    from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+
+    scene = SyntheticScene()
+    frames = list(render_sequence(scene, cfg.camera, N_FRAMES, seed=0))
+    grays = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    return grays, depths
+
+
+def _tpu_fps(cfg, grays, depths) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from revo_tpu import tracker
+    from revo_tpu.frontend import build_frame, make_keyframe
+
+    device_frames = [
+        build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+        for g, d in zip(grays, depths)
+    ]
+    jax.block_until_ready(device_frames)
+    kf = make_keyframe(device_frames[0], jnp.eye(4), cfg)
+    jax.block_until_ready(kf.structs)
+
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
+    # Warmup / compile.
+    res = tracker.track_frames(kf, device_frames[1], R0, t0, cfg)
+    jax.block_until_ready(res)
+
+    # Steady state: per-frame work = pyramid build + track (what the
+    # reference's "mean tracking time" + IO-thread pyramid stage cover).
+    t_start = time.perf_counter()
+    for i in range(N_TIMED):
+        f = build_frame(
+            jnp.asarray(grays[i % N_FRAMES]),
+            jnp.asarray(depths[i % N_FRAMES]),
+            cfg,
+        )
+        res = tracker.track_frames(kf, f, res.R, res.t, cfg)
+    jax.block_until_ready(res)
+    elapsed = time.perf_counter() - t_start
+    return N_TIMED / elapsed
+
+
+def _cpu_oracle_fps(cfg, grays, depths) -> float:
+    """OpenCV + NumPy single-process implementation of the same per-frame
+    pipeline, standing in for the reference C++'s per-core speed."""
+    import cv2
+
+    pyr = cfg.pyramid
+    cams = cfg.camera_pyramid()
+
+    def build(gray, depth):
+        levels = []
+        g, d = gray.astype(np.uint8), depth
+        for lvl in range(pyr.n_levels):
+            e = cv2.Canny(
+                g, int(pyr.canny_threshold1), int(pyr.canny_threshold2),
+                apertureSize=3, L2gradient=True,
+            )
+            cam = cams[lvl]
+            ys, xs = np.nonzero(
+                (e > 0) & (d > pyr.depth_min) & (d < pyr.depth_max)
+            )
+            z = d[ys, xs]
+            pts = np.stack(
+                [z * (xs - cam.cx) / cam.fx, z * (ys - cam.cy) / cam.fy, z], 1
+            ).astype(np.float32)
+            levels.append((e, pts))
+            if lvl + 1 < pyr.n_levels:
+                g = cv2.pyrDown(g)
+                dd = d[: d.shape[0] // 2 * 2, : d.shape[1] // 2 * 2]
+                blocks = dd.reshape(
+                    dd.shape[0] // 2, 2, dd.shape[1] // 2, 2
+                )
+                cnt = (blocks > 0).sum((1, 3))
+                tot = np.where(blocks > 0, blocks, 0).sum((1, 3))
+                d = np.where(cnt > 0, tot / np.maximum(cnt, 1), 0).astype(
+                    np.float32
+                )
+        return levels
+
+    def make_kf(levels):
+        structs = []
+        for e, _ in levels:
+            dt = cv2.distanceTransform(
+                255 - e, cv2.DIST_L2, cv2.DIST_MASK_PRECISE
+            )
+            gx = 0.5 * (np.roll(dt, 1, 1) - np.roll(dt, -1, 1))
+            gy = 0.5 * (np.roll(dt, 1, 0) - np.roll(dt, -1, 0))
+            structs.append(np.stack([gx, gy, dt], -1))
+        return structs
+
+    def track(structs, levels):
+        opt = cfg.tracker.optimizer
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, dtype=np.float32)
+        from revo_tpu import lie  # exp on host via jax cpu — negligible cost
+        import jax.numpy as jnp
+
+        for lvl in range(pyr.pyr_min_lvl, pyr.pyr_max_lvl - 1, -1):
+            s = structs[lvl]
+            pts = levels[lvl][1]
+            cam = cams[lvl]
+            last_err = np.inf
+            for _ in range(opt.max_its_per_lvl[lvl]):
+                w = pts @ R.T + t
+                u = w[:, 0] / w[:, 2] * cam.fx + cam.cx
+                v = w[:, 1] / w[:, 2] * cam.fy + cam.cy
+                ok = (u > 1) & (v > 1) & (u < cam.width - 2) & (
+                    v < cam.height - 2
+                )
+                ui, vi = u[ok].astype(int), v[ok].astype(int)
+                du, dv = u[ok] - ui, v[ok] - vi
+                s00 = s[vi, ui]
+                s01 = s[vi, ui + 1]
+                s10 = s[vi + 1, ui]
+                s11 = s[vi + 1, ui + 1]
+                samp = (
+                    (du * dv)[:, None] * s11
+                    + (dv - du * dv)[:, None] * s10
+                    + (du - du * dv)[:, None] * s01
+                    + (1 - du - dv + du * dv)[:, None] * s00
+                )
+                r = samp[:, 2]
+                keep = r <= opt.edge_distance_lvl[lvl]
+                r = r[keep]
+                gx = cam.fx * samp[keep, 0]
+                gy = cam.fy * samp[keep, 1]
+                wk = w[ok][keep]
+                wr = np.where(r <= opt.huber_edge, 1.0, opt.huber_edge / np.maximum(r, 1e-12))
+                iz = 1.0 / wk[:, 2]
+                iz2 = iz * iz
+                J = np.stack(
+                    [
+                        iz * gx,
+                        iz * gy,
+                        -wk[:, 0] * iz2 * gx - wk[:, 1] * iz2 * gy,
+                        -wk[:, 0] * wk[:, 1] * iz2 * gx
+                        - (1 + wk[:, 1] ** 2 * iz2) * gy,
+                        (1 + wk[:, 0] ** 2 * iz2) * gx
+                        + wk[:, 0] * wk[:, 1] * iz2 * gy,
+                        -wk[:, 1] * iz * gx + wk[:, 0] * iz * gy,
+                    ],
+                    1,
+                )
+                n = max(len(r), 1)
+                A = (J * wr[:, None]).T @ J / n
+                g = J.T @ (wr * r) / n
+                err = float((wr * r * r).sum() / n)
+                inc = np.linalg.solve(A + 1e-9 * np.eye(6), g)
+                dR, dt_ = lie.exp_se3(jnp.asarray(inc, jnp.float32))
+                Rn = np.asarray(dR) @ R
+                tn = np.asarray(dR) @ t + np.asarray(dt_)
+                if err >= last_err * 0.999:
+                    break
+                R, t, last_err = Rn, tn, err
+        return R, t
+
+    kf_levels = build(grays[0], depths[0])
+    structs = make_kf(kf_levels)
+    n = min(4, len(grays) - 1)
+    t0 = time.perf_counter()
+    for i in range(1, 1 + n):
+        levels = build(grays[i], depths[i])
+        track(structs, levels)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    from revo_tpu.config import SystemConfig
+
+    cfg = SystemConfig()
+    grays, depths = _build_inputs(cfg)
+
+    cpu_fps = _cpu_oracle_fps(cfg, grays, depths)
+    tpu_fps = _tpu_fps(cfg, grays, depths)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_s_640x480",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(tpu_fps / cpu_fps, 2),
+                "baseline_cpu_oracle_fps": round(cpu_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

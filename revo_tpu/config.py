@@ -97,6 +97,11 @@ class TrackerConfig:
     """Tracker settings (TrackerSettings, tracker.h:31-55)."""
 
     check_init_values: bool = True  # tracker.h:43
+    # Improvement over the reference: evalCostFunction (tracker.cpp:356-393)
+    # compares raw DT sums, so a pose that throws points out of bounds gets a
+    # spuriously low cost; normalizing by the contributing-point count fixes
+    # the bias.  Set False for exact reference parity.
+    normalized_init_cost: bool = True
     check_tracking_results: bool = True  # tracker.h:45
     n_frames_histogram_voting: int = 3  # tracker.h:44,47
     histogram_level: int = 2  # tracker.cpp:229

@@ -79,19 +79,34 @@ def _default_planes() -> List[Plane]:
 
 
 def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
-    """Procedural gray texture in [0, 255]: sharp grid lines + smooth blobs.
+    """Procedural gray texture in [0, 255]: sharp *aperiodic* structure.
 
-    tanh-sharpened sinusoid grid gives clean, well-localized Canny edges at
-    multiple scales, like the furniture edges REVO tracks on TUM desks.
+    tanh-sharpened sinusoids give clean, well-localized Canny edges; the
+    coordinates are warped by incommensurate low-frequency terms and unique
+    high-contrast blobs are added so the texture has no translational
+    symmetry — a periodic grid would alias direct alignment once the drift
+    approaches a lattice period (a pure synthetic-data artifact; real TUM
+    scenes are aperiodic).
     """
-    g1 = np.tanh(6.0 * np.sin(2 * np.pi * u / 0.50 + phase))
-    g2 = np.tanh(6.0 * np.sin(2 * np.pi * v / 0.50 + 0.7 * phase))
+    uw = u + 0.13 * np.sin(0.83 * v + phase) + 0.07 * np.sin(2.19 * u)
+    vw = v + 0.11 * np.sin(0.71 * u + 1.3 * phase) + 0.06 * np.sin(2.71 * v)
+    g1 = np.tanh(6.0 * np.sin(2 * np.pi * uw / 0.50 + phase))
+    g2 = np.tanh(6.0 * np.sin(2 * np.pi * vw / 0.53 + 0.7 * phase))
     grid = g1 * g2
-    blob = np.sin(2 * np.pi * u / 1.7 + 2 * phase) * np.cos(
-        2 * np.pi * v / 2.3
+    blob = np.sin(2 * np.pi * uw / 1.7 + 2 * phase) * np.cos(
+        2 * np.pi * vw / 2.3
     )
-    fine = np.tanh(5.0 * np.sin(2 * np.pi * (u + v) / 0.21 + phase))
-    tex = 120.0 + 55.0 * grid + 25.0 * blob + 20.0 * fine * (blob > 0.3)
+    fine = np.tanh(5.0 * np.sin(2 * np.pi * (uw + vw) / 0.21 + phase))
+    tex = 120.0 + 45.0 * grid + 25.0 * blob + 15.0 * fine * (blob > 0.3)
+    # Unique landmarks: a few deterministic high-contrast discs per plane.
+    rng = np.random.default_rng(int(phase * 1000) + 7)
+    for _ in range(6):
+        cu = rng.uniform(-2.0, 2.0)
+        cv_ = rng.uniform(-2.0, 2.0)
+        rad = rng.uniform(0.08, 0.2)
+        sgn = rng.choice([-1.0, 1.0])
+        d2 = (u - cu) ** 2 + (v - cv_) ** 2
+        tex += sgn * 70.0 * (d2 < rad * rad)
     return np.clip(tex, 0.0, 255.0)
 
 

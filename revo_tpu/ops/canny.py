@@ -119,7 +119,8 @@ def canny(
         grown = (cand & _dilate8(reach)) | reach
         return grown, reach.sum(), it + 1
 
-    reach, _, _ = jax.lax.while_loop(
-        cond, body, (strong, jnp.array(-1, jnp.int32), jnp.array(0, jnp.int32))
-    )
+    # Scalar carries are derived from the input so their sharding/varying
+    # axes match the loop outputs (required under shard_map).
+    zero = strong.sum() * 0
+    reach, _, _ = jax.lax.while_loop(cond, body, (strong, zero - 1, zero))
     return reach

@@ -42,7 +42,8 @@ def _column_distances(edges: jax.Array) -> jax.Array:
         d = jnp.where(row, 0.0, carry + 1.0)
         return d, d
 
-    init = jnp.full((edges.shape[1],), _BIG, dtype=jnp.float32)
+    # Init derived from the input so varying axes match under shard_map.
+    init = jnp.where(e[0] & False, 0.0, _BIG).astype(jnp.float32)
     _, down = jax.lax.scan(step, init, e)
     _, up = jax.lax.scan(step, init, e[::-1])
     return jnp.minimum(down, up[::-1])
@@ -68,7 +69,8 @@ def _row_edt_sq(gsq: jax.Array, chunk: int = 128) -> jax.Array:
         cand = dx[None, :, :] * dx[None, :, :] + g[:, None, :]  # (H, W, chunk)
         return jnp.minimum(acc, cand.min(axis=-1))
 
-    acc0 = jnp.full((h, w), _BIG, dtype=jnp.float32)
+    # Init derived from the input so varying axes match under shard_map.
+    acc0 = gsq * 0.0 + _BIG
     return jax.lax.fori_loop(0, n_chunks, body, acc0)
 
 

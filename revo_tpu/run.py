@@ -1,0 +1,119 @@
+"""CLI entry point: ``python -m revo_tpu.run <settings.yaml> <dataset.yaml>``.
+
+Replaces main.cpp:22-48: loads the two-file config, then runs VO over each
+dataset listed in the dataset file (the reference loops ``nRuns`` over its
+``Datasets`` list), writing ``poses_<dataset>.txt`` in TUM format.
+
+Extra modality for environments without TUM data:
+``python -m revo_tpu.run --synthetic N [--out DIR]`` renders an N-frame
+synthetic sequence, runs VO, reports ATE/RPE against the exact ground truth.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _run_dataset(cfg, dataset: str, out_dir: str) -> None:
+    from revo_tpu.io.tum import load_associations, load_tum_frame
+    from revo_tpu.system import VOSystem
+
+    ds_dir = os.path.join(cfg.dataset.main_folder, dataset)
+    assocs = load_associations(
+        ds_dir,
+        cfg.dataset.associate_file,
+        skip_first=cfg.dataset.skip_first_n_frames,
+        max_frames=cfg.dataset.read_n_images,
+    )
+    print(f"[revo_tpu] {dataset}: {len(assocs)} frames")
+
+    def frames():
+        for a in assocs:
+            yield load_tum_frame(ds_dir, a, cfg.dataset.depth_scale_factor)
+
+    vo = VOSystem(cfg)
+    pose_file = os.path.join(out_dir, f"poses_{dataset}.txt")
+    _, _, report = vo.run(frames(), pose_file=pose_file)
+    _print_report(report, pose_file)
+
+
+def _print_report(report, pose_file) -> None:
+    # VO report (system.cpp:292-304)
+    print("-----VO Report-----")
+    print(f"Frames Tracked: {report.frames_tracked}")
+    print(f"Keyframes Tracked: {report.keyframes}")
+    print(f"Tracking Lost: {report.tracking_lost}")
+    print(f"Distance Transform: {report.mean_dt_time_ms:.2f} ms")
+    print(f"Mean Tracking Time: {report.mean_tracking_time_ms:.2f} ms")
+    if pose_file:
+        print(f"Poses written to {pose_file}")
+
+
+def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int) -> int:
+    from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
+    from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+    from revo_tpu.system import VOSystem
+
+    scene = SyntheticScene()
+    gt = []
+
+    def frames():
+        for gray, depth, T, ts in render_sequence(
+            scene, cfg.camera, n_frames, seed=seed
+        ):
+            gt.append(T)
+            yield gray, depth, ts
+
+    vo = VOSystem(cfg)
+    pose_file = os.path.join(out_dir, "poses_synthetic.txt")
+    poses, _, report = vo.run(frames(), pose_file=pose_file)
+    _print_report(report, pose_file)
+    ate = absolute_trajectory_error(poses, np.stack(gt))
+    rpe = relative_pose_error(poses, np.stack(gt))
+    print(
+        f"ATE-RMSE: {ate.rmse * 100:.2f} cm  (mean {ate.mean * 100:.2f}, "
+        f"max {ate.max * 100:.2f})"
+    )
+    print(
+        f"RPE: {rpe.trans_rmse * 1000:.2f} mm / {rpe.rot_rmse_deg:.4f} deg "
+        f"per frame"
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="revo_tpu.run",
+        description="TPU-native edge-based visual odometry",
+    )
+    parser.add_argument("settings", nargs="?", help="algorithm settings yaml")
+    parser.add_argument("dataset", nargs="?", help="dataset settings yaml")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="run on an N-frame synthetic sequence")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default="out", help="output directory")
+    args = parser.parse_args(argv)
+
+    from revo_tpu.config import load_config
+
+    cfg = load_config(args.settings, args.dataset)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic > 0:
+        return _run_synthetic(cfg, args.synthetic, args.out, args.seed)
+
+    if not args.dataset:
+        parser.error("either provide dataset yaml or --synthetic N")
+    if not cfg.dataset.datasets:
+        print("[revo_tpu] no datasets listed in config", file=sys.stderr)
+        return 1
+    for ds in cfg.dataset.datasets:
+        _run_dataset(cfg, ds, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

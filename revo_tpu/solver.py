@@ -172,13 +172,17 @@ def lm_level(
         )
 
     sys0 = evaluate(R0, t0)
+    # Derive scalar carries from the inputs so their varying axes match the
+    # loop body outputs under shard_map.
+    izero = sys0.info.good * 0
+    fzero = sys0.err * 0
     state0 = _LMState(
         R=R0,
         t=t0,
         sys=sys0,
         last_err=sys0.err,
-        lam=jnp.float32(opt.lambda_initial[lvl]),
-        iteration=jnp.int32(0),
+        lam=fzero + opt.lambda_initial[lvl],
+        iteration=izero,
     )
 
     class Inner(NamedTuple):
@@ -239,7 +243,9 @@ def lm_level(
             return Inner(state=new_state, inc_try=inc_try, done=done)
 
         inn0 = Inner(
-            state=st, inc_try=jnp.int32(0), done=jnp.array(False)
+            state=st,
+            inc_try=st.iteration * 0,
+            done=st.last_err < -jnp.inf,  # False, with input-derived sharding
         )
         inn = jax.lax.while_loop(inner_cond, inner_body, inn0)
         s = inn.state
@@ -264,9 +270,14 @@ def eval_cost(
     t: jax.Array,
     edge_distance: float,
     use_edge_filter: bool,
+    normalized: bool = False,
 ) -> jax.Array:
     """TrackerNew::evalCostFunction (tracker.cpp:356-393): sum of
-    floor-sampled DT values over in-bounds points, with the edge filter."""
+    floor-sampled DT values over in-bounds points, with the edge filter.
+
+    ``normalized=True`` divides by the contributing-point count — an
+    improvement over the reference, whose raw sum rewards poses that project
+    points out of bounds (see TrackerConfig.normalized_init_cost)."""
     pts = cloud.points
     wxp = pts @ R.T + t
     pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
@@ -281,4 +292,7 @@ def eval_cost(
         ok = inb & (res <= edge_distance)
     else:
         ok = inb
-    return jnp.sum(jnp.where(ok, res, 0.0))
+    total = jnp.sum(jnp.where(ok, res, 0.0))
+    if normalized:
+        return total / jnp.maximum(ok.sum(), 1).astype(jnp.float32)
+    return total

@@ -1,0 +1,227 @@
+"""The VO system driver: frame loop, keyframe promotion, pose graph.
+
+TPU-native replacement for REVO::start (system/system.cpp:84-305).  The host
+orchestrates; every per-frame computation (pyramid, tracking, voting) is a
+jitted device call.  The pose graph is a list of fixed-size records (relative
+pose anchored to its keyframe, system.h:89-152) suitable for later
+batched/pose-graph optimization.
+
+Control flow mirrors the reference exactly:
+- frame 0 becomes the first keyframe (system.cpp:151-175),
+- per frame: track against the keyframe, then the histogram-voting quality
+  check *overwrites* the tracker's good/bad-ratio status (system.cpp:188-199
+  — the ratio only matters inside trackFrames' own return),
+- on NEW_KF (and not immediately after a promotion): the *previous* frame is
+  promoted to keyframe, the past list trimmed, and the current frame is
+  re-tracked against it with the frame-to-frame motion prior
+  (system.cpp:203-241),
+- motion prior: T_init = T_kf_N * T_{N-1,N} (system.cpp:267-271).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import lie, tracker
+from revo_tpu.config import SystemConfig
+from revo_tpu.frontend import Frame, Keyframe, build_frame, make_keyframe
+from revo_tpu.io.tum import write_tum_trajectory
+
+
+class TrackerStatus(enum.Enum):
+    """TrackerNew::TrackerStatus (tracker.h:61-66)."""
+
+    OK = 0
+    LOST = 1  # relocalization unimplemented, as in the reference
+    NEW_KF = 2
+    UNKNOWN = 3
+
+
+@dataclasses.dataclass
+class PoseNode:
+    """REVO::Pose (system.h:89-152): relative pose anchored to a keyframe."""
+
+    T_kf_curr: np.ndarray  # (4, 4)
+    T_w_kf: np.ndarray  # parent keyframe world pose at creation/promotion
+    timestamp: float
+    is_keyframe: bool = False
+
+    @property
+    def T_w_curr(self) -> np.ndarray:
+        """getCurrToWorld = T_w_kf * T_kf_curr (system.h:130-133)."""
+        return self.T_w_kf @ self.T_kf_curr
+
+    def promote_to_keyframe(self) -> None:
+        """setKfFrame (system.h:140-146): node becomes its own keyframe."""
+        self.T_w_kf = self.T_w_curr
+        self.T_kf_curr = np.eye(4, dtype=np.float32)
+        self.is_keyframe = True
+
+
+@dataclasses.dataclass
+class VOReport:
+    """End-of-run VO report (system.cpp:292-304)."""
+
+    frames_tracked: int = 0
+    keyframes: int = 0
+    tracking_lost: int = 0
+    mean_dt_time_ms: float = 0.0
+    mean_tracking_time_ms: float = 0.0
+
+
+class VOSystem:
+    """Visual odometry over a stream of (gray, depth, timestamp) frames."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.pose_graph: List[PoseNode] = []
+        self.kf: Optional[Keyframe] = None
+        self.prev_frame: Optional[Frame] = None
+        self.past = tracker.empty_past(
+            cfg.tracker.n_frames_histogram_voting,
+            cfg.pyramid.edge_capacity[cfg.tracker.histogram_level],
+        )
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.T_nm1_n = np.eye(4, dtype=np.float32)
+        self.just_added_kf = False
+        self.n_frames = 0
+        self.n_keyframes = 0
+        self.dt_times: List[float] = []
+        self.tracking_times: List[float] = []
+
+    # -- helpers -------------------------------------------------------------
+
+    def _push_past(self, frame: Frame, T_w_curr: np.ndarray) -> None:
+        lvl = self.cfg.tracker.histogram_level
+        cloud = frame.levels[lvl].cloud
+        self.past = tracker.push_past(
+            self.past, cloud.points, cloud.valid, jnp.asarray(T_w_curr)
+        )
+
+    def _make_keyframe(self, frame: Frame, T_w_k: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self.kf = make_keyframe(frame, jnp.asarray(T_w_k), self.cfg)
+        jax.block_until_ready(self.kf.structs)
+        self.dt_times.append((time.perf_counter() - t0) * 1000.0)
+        self.n_keyframes += 1
+
+    # -- main entry ----------------------------------------------------------
+
+    def process_frame(
+        self, gray: np.ndarray, depth: np.ndarray, timestamp: float
+    ) -> np.ndarray:
+        """Process one frame; returns its estimated world pose (4, 4)."""
+        cfg = self.cfg
+        frame = build_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
+
+        if self.n_frames == 0:
+            self._make_keyframe(frame, np.eye(4, dtype=np.float32))
+            node = PoseNode(
+                T_kf_curr=np.eye(4, dtype=np.float32),
+                T_w_kf=np.eye(4, dtype=np.float32),
+                timestamp=timestamp,
+                is_keyframe=True,
+            )
+            self.pose_graph.append(node)
+            self._push_past(frame, np.eye(4, dtype=np.float32))
+            self.prev_frame = frame
+            self.n_frames = 1
+            self.just_added_kf = True
+            return node.T_w_curr
+
+        t_start = time.perf_counter()
+        res = tracker.track_frames(self.kf, frame, self.R, self.t, cfg)
+        T_kf_n = np.asarray(lie.matrix_from_rt(res.R, res.t))
+        T_w_kf = np.asarray(self.kf.T_w_k)
+        T_w_curr = T_w_kf @ T_kf_n
+
+        # Histogram-voting quality check overwrites the tracker status
+        # (system.cpp:199).
+        if cfg.tracker.check_tracking_results:
+            new_kf = bool(
+                tracker.assess_tracking_quality(
+                    self.past, jnp.asarray(T_w_curr), frame, cfg
+                )
+            )
+        else:
+            new_kf = False
+
+        if new_kf and not self.just_added_kf:
+            # Promote the previous frame to keyframe and re-track
+            # (system.cpp:203-241).
+            last = self.pose_graph[-1]
+            last.promote_to_keyframe()
+            self._make_keyframe(self.prev_frame, last.T_w_kf)
+            # clearUpPastLists: the ring buffer is already bounded to K.
+            R0 = jnp.asarray(self.T_nm1_n[:3, :3])
+            t0 = jnp.asarray(self.T_nm1_n[:3, 3])
+            res = tracker.track_frames(self.kf, frame, R0, t0, cfg)
+            T_kf_n = np.asarray(lie.matrix_from_rt(res.R, res.t))
+            T_w_kf = np.asarray(self.kf.T_w_k)
+            T_w_curr = T_w_kf @ T_kf_n
+            if cfg.tracker.check_tracking_results:
+                tracker.assess_tracking_quality(
+                    self.past, jnp.asarray(T_w_curr), frame, cfg
+                )  # result intentionally unused, as in system.cpp:230
+            self.just_added_kf = True
+        else:
+            self.just_added_kf = False
+        self.tracking_times.append((time.perf_counter() - t_start) * 1000.0)
+
+        node = PoseNode(
+            T_kf_curr=T_kf_n, T_w_kf=T_w_kf, timestamp=timestamp
+        )
+        self.pose_graph.append(node)
+        self._push_past(frame, T_w_curr)
+
+        # Motion prior for the next frame (system.cpp:267-271).
+        prev_node = self.pose_graph[-2]
+        self.T_nm1_n = (
+            np.linalg.inv(prev_node.T_w_curr) @ node.T_w_curr
+        ).astype(np.float32)
+        T_init = node.T_kf_curr @ self.T_nm1_n
+        if cfg.init_from_last_pose:
+            self.R = jnp.asarray(T_init[:3, :3])
+            self.t = jnp.asarray(T_init[:3, 3])
+        else:
+            self.R = jnp.eye(3)
+            self.t = jnp.zeros(3)
+
+        self.prev_frame = frame
+        self.n_frames += 1
+        return node.T_w_curr
+
+    def run(self, frames, pose_file: Optional[str] = None):
+        """Run over an iterable of (gray, depth, timestamp); returns
+        (poses (N,4,4), timestamps, VOReport)."""
+        poses, stamps = [], []
+        for gray, depth, ts in frames:
+            poses.append(self.process_frame(gray, depth, ts))
+            stamps.append(ts)
+        poses = np.stack(poses) if poses else np.zeros((0, 4, 4))
+        if pose_file and self.cfg.do_output_poses:
+            qs = np.asarray(
+                lie.quaternion_from_matrix(jnp.asarray(poses[:, :3, :3]))
+            )
+            write_tum_trajectory(pose_file, stamps, poses[:, :3, 3], qs)
+        return poses, np.array(stamps), self.report()
+
+    def report(self) -> VOReport:
+        return VOReport(
+            frames_tracked=len(self.pose_graph),
+            keyframes=self.n_keyframes,
+            tracking_lost=0,
+            mean_dt_time_ms=float(np.mean(self.dt_times))
+            if self.dt_times
+            else 0.0,
+            mean_tracking_time_ms=float(np.mean(self.tracking_times))
+            if self.tracking_times
+            else 0.0,
+        )

@@ -44,13 +44,14 @@ def track_frames(
         min_lvl = pyr.pyr_min_lvl
         cloud = frame.levels[min_lvl].cloud
         dt_img = kf.structs[min_lvl][..., 2]
+        norm = cfg.tracker.normalized_init_cost
         cost_eye = solver.eval_cost(
             dt_img, cloud, cams[min_lvl], jnp.eye(3), jnp.zeros(3),
-            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter,
+            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter, norm,
         )
         cost_init = solver.eval_cost(
             dt_img, cloud, cams[min_lvl], R, t,
-            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter,
+            opt.edge_distance_lvl[min_lvl], opt.use_edge_filter, norm,
         )
         # "DO NOT INIT WITH PREVIOUS TRANSFORM" (tracker.cpp:277-282).
         use_eye = cost_eye < cost_init

@@ -1,0 +1,124 @@
+"""Integration tests: full VO over synthetic sequences with ATE/RPE gates.
+
+BASELINE.json configs 2-3: coarse-to-fine tracking over a clip; full VO with
+keyframe selection/insertion; golden-trajectory gates (SURVEY.md §4c).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
+from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+from revo_tpu.io.tum import read_tum_trajectory, write_tum_trajectory
+from revo_tpu.system import VOSystem
+
+from test_solver import small_cfg
+
+
+def run_vo(cfg, n_frames, seed=0, scene=None):
+    scene = scene or SyntheticScene()
+    gt = []
+
+    def frames():
+        for gray, depth, T, ts in render_sequence(
+            scene, cfg.camera, n_frames, seed=seed
+        ):
+            gt.append(T)
+            yield gray, depth, ts
+
+    vo = VOSystem(cfg)
+    poses, stamps, report = vo.run(frames())
+    return poses, np.stack(gt), report, vo
+
+
+class TestVOSequence:
+    def test_thirty_frame_clip(self):
+        """30-frame clip at 160x120: ATE a few mm, no gross drift."""
+        cfg = small_cfg()
+        poses, gt, report, vo = run_vo(cfg, 30)
+        assert report.frames_tracked == 30
+        ate = absolute_trajectory_error(poses, gt)
+        rpe = relative_pose_error(poses, gt)
+        # ~0.8 cm/frame motion, 160x120: ATE should stay sub-centimetre.
+        assert ate.rmse < 0.02, f"ATE {ate.rmse * 100:.2f} cm"
+        assert rpe.trans_rmse < 0.01, f"RPE {rpe.trans_rmse * 1000:.2f} mm"
+
+    def test_keyframe_promotion_happens(self):
+        """A long-enough walk must trigger histogram-voting keyframe
+        promotion (IROS17) and keep tracking through it."""
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        poses, gt, report, vo = run_vo(
+            cfg, 40, seed=3, scene=scene
+        )
+        assert report.keyframes >= 1
+        ate = absolute_trajectory_error(poses, gt)
+        assert ate.rmse < 0.03, f"ATE {ate.rmse * 100:.2f} cm"
+
+    def test_pose_graph_consistency(self):
+        """Every node's world pose = T_w_kf @ T_kf_curr; keyframe nodes have
+        identity relative pose (system.h:140-146)."""
+        cfg = small_cfg()
+        poses, gt, report, vo = run_vo(cfg, 20, seed=1)
+        for node in vo.pose_graph:
+            np.testing.assert_allclose(
+                node.T_w_curr, node.T_w_kf @ node.T_kf_curr, atol=1e-6
+            )
+            if node.is_keyframe:
+                np.testing.assert_allclose(
+                    node.T_kf_curr, np.eye(4), atol=1e-6
+                )
+
+    def test_depth_holes_tolerated(self):
+        """TUM-like missing depth (15% holes) must not break tracking."""
+        cfg = small_cfg()
+        scene = SyntheticScene(depth_hole_frac=0.15)
+        poses, gt, report, vo = run_vo(cfg, 15, seed=2, scene=scene)
+        ate = absolute_trajectory_error(poses, gt)
+        assert ate.rmse < 0.03, f"ATE {ate.rmse * 100:.2f} cm"
+
+
+class TestTrajectoryIO:
+    def test_tum_roundtrip(self, tmp_path):
+        from revo_tpu import lie
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        n = 7
+        xs = rng.normal(size=(n, 6)).astype(np.float32) * 0.3
+        R, t = lie.exp_se3(jnp.asarray(xs))
+        poses = np.asarray(lie.matrix_from_rt(R, t))
+        qs = np.asarray(lie.quaternion_from_matrix(jnp.asarray(poses[:, :3, :3])))
+        ts = np.arange(n) * 0.033 + 1305031102.0
+        path = os.path.join(tmp_path, "poses.txt")
+        write_tum_trajectory(path, ts, poses[:, :3, 3], qs)
+        ts2, poses2 = read_tum_trajectory(path)
+        np.testing.assert_allclose(ts2, ts, atol=1e-5)
+        np.testing.assert_allclose(poses2, poses, atol=1e-5)
+
+
+class TestEval:
+    def test_ate_invariant_to_rigid_transform(self):
+        rng = np.random.default_rng(0)
+        n = 20
+        gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        gt[:, :3, 3] = rng.normal(size=(n, 3))
+        # estimated = gt moved by a rigid transform -> ATE 0
+        from revo_tpu import lie
+        import jax.numpy as jnp
+
+        R, t = lie.exp_se3(jnp.asarray([0.3, -0.2, 0.5, 0.4, 0.1, -0.2]))
+        T = np.asarray(lie.matrix_from_rt(R, t)).astype(np.float64)
+        est = np.einsum("ij,njk->nik", T, gt)
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 1e-6
+
+    def test_rpe_detects_drift(self):
+        n = 10
+        gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+        est = gt.copy()
+        for i in range(n):
+            est[i, 0, 3] = 0.01 * i  # 1 cm/frame drift
+        rpe = relative_pose_error(est, gt)
+        assert rpe.trans_rmse == pytest.approx(0.01, rel=1e-6)
