@@ -90,6 +90,14 @@ class OptimizerConfig:
     max_inc_try: int = 10  # optimizer.h:69
     huber_edge: float = 0.3  # optimizer.h:75
     use_edge_filter: bool = True  # revo_settings.yaml USE_EDGE_FILTER
+    # Solver implementation: "lm" reproduces the reference's data-dependent
+    # accept/reject schedule (optimizer.cpp:250-307) with nested while_loops;
+    # "gn_fixed" is the TPU-fast fixed-iteration variant (SURVEY.md §7
+    # design stance): one evaluation per iteration, where-gated accept, LM
+    # damping halved/quadrupled — same fixed point, ~3x fewer device loop
+    # iterations.  ATE parity is gated in tests/test_solver_modes.py.
+    solver: str = "lm"
+    fixed_iters: Tuple[int, ...] = (12, 12, 12, 12, 12, 12)  # per level
 
 
 @dataclass(frozen=True)

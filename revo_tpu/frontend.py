@@ -51,7 +51,20 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
     Mirrors the ImgPyramidRGBD ctor (imgpyramidrgbd.cpp:43-96) with static
     shapes; ``cfg`` is a hashable static argument so each config compiles
     once.
+
+    Accepts compact transfer dtypes and converts on device (the host->device
+    link is the streaming bottleneck): uint8 gray, and uint16 raw depth
+    scaled by 1/DEPTH_SCALE_FACTOR like the reference's convertTo
+    (iowrapperRGBD.cpp:326-327).
     """
+    if gray.dtype != jnp.float32:
+        gray = gray.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * (
+            1.0 / cfg.dataset.depth_scale_factor
+        )
+    elif depth.dtype != jnp.float32:
+        depth = depth.astype(jnp.float32)
     pyr = cfg.pyramid
     cams = cfg.camera_pyramid()
     levels = []
@@ -98,7 +111,9 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
         if lvl + 1 < pyr.n_levels:
             g = ops.pyr_down(g)
             d = ops.subsample_depth_with_holes(d)
-    return Frame(levels=tuple(levels), timestamp=jnp.float32(0.0))
+    # Timestamp is host-side metadata; derive the placeholder from the input
+    # so its sharding axes match when frames flow through shard_map carries.
+    return Frame(levels=tuple(levels), timestamp=gray[0, 0] * 0)
 
 
 class Keyframe(NamedTuple):

@@ -38,14 +38,10 @@ def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
 
 
 def _dilate8(mask: jax.Array) -> jax.Array:
-    """8-connected binary dilation via a 3x3 max window."""
-    m = mask
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            m = m | _shift(mask, dy, dx)
-    return m
+    """8-connected binary dilation via a 3x3 OR window (one fused op)."""
+    return jax.lax.reduce_window(
+        mask, False, jax.lax.bitwise_or, (3, 3), (1, 1), "SAME"
+    )
 
 
 def canny(
@@ -107,7 +103,11 @@ def canny(
     strong = cand & (mag > high_sq)
 
     # Hysteresis: grow `strong` through `cand` (8-connectivity) to fixpoint.
+    # Each while iteration applies UNROLL dilations back-to-back, cutting the
+    # device loop-iteration overhead ~UNROLLx; the fixpoint check still makes
+    # the result exact (identical to OpenCV's BFS).
     h, w = gray.shape
+    UNROLL = 8
     max_iters = max_hysteresis_iters if max_hysteresis_iters else (h + w)
 
     def cond(state):
@@ -116,8 +116,10 @@ def canny(
 
     def body(state):
         reach, _, it = state
-        grown = (cand & _dilate8(reach)) | reach
-        return grown, reach.sum(), it + 1
+        grown = reach
+        for _ in range(UNROLL):
+            grown = (cand & _dilate8(grown)) | grown
+        return grown, reach.sum(), it + UNROLL
 
     # Scalar carries are derived from the input so their sharding/varying
     # axes match the loop outputs (required under shard_map).

@@ -1,0 +1,216 @@
+"""Whole-sequence VO as a lax.scan + multi-sequence batching over a mesh.
+
+The throughput path (BASELINE.json config 4): the entire frame loop of
+system.py — tracking, histogram-voting keyframe promotion, prev-frame
+re-track, motion prior — runs on device as one lax.scan over preloaded
+frames, so a whole sequence is a single XLA program with zero host round
+-trips.  Multi-sequence data parallelism places one sequence per mesh slot
+with shard_map; inside shard_map, lax.cond stays a real branch, so the
+keyframe-promotion re-track costs nothing on frames that don't promote.
+
+The host-loop VOSystem (system.py) is the reference-parity twin; both share
+the same tracker/solver kernels.  Control flow here is the branchless
+re-formulation promised in SURVEY.md §7 ("the 'promote previous frame to
+keyframe' re-track becomes a masked second solver call in the scan step").
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import lie, tracker
+from revo_tpu.config import SystemConfig
+from revo_tpu.frontend import Frame, Keyframe, build_frame, make_keyframe
+from revo_tpu.tracker import PastFrames
+
+
+class ScanVOState(NamedTuple):
+    kf: Keyframe  # current keyframe (structs + embedded frame + T_w_k)
+    prev: Frame  # previous frame (promotion candidate)
+    prev_T_w: jax.Array  # (4, 4) previous frame's world pose
+    past: PastFrames  # histogram-voting ring buffer
+    R: jax.Array  # (3, 3) init guess T_kf_curr
+    t: jax.Array  # (3,)
+    T_nm1_n: jax.Array  # (4, 4) frame-to-frame motion prior
+    just_added_kf: jax.Array  # () bool
+    n_keyframes: jax.Array  # () int32
+
+
+class ScanVOOutput(NamedTuple):
+    T_w: jax.Array  # (4, 4) per-frame world pose
+    error: jax.Array  # () tracking error
+    good: jax.Array  # () int32
+    promoted: jax.Array  # () bool: this frame triggered a promotion
+
+
+def _tie_to_input(tree, zero: jax.Array):
+    """Add an input-derived zero to every leaf so constant-initialized
+    carries acquire the input's varying/manual axes (required when the whole
+    scan runs inside shard_map)."""
+
+    def f(x):
+        x = jnp.asarray(x)
+        if x.dtype == jnp.bool_:
+            return x ^ (zero > 0)  # XOR False: value-preserving
+        return x + zero.astype(x.dtype)
+
+    return jax.tree.map(f, tree)
+
+
+def _init_state(frame0: Frame, cfg: SystemConfig) -> ScanVOState:
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    kf = make_keyframe(frame0, eye4, cfg)
+    lvl = cfg.tracker.histogram_level
+    past = tracker.empty_past(
+        cfg.tracker.n_frames_histogram_voting,
+        cfg.pyramid.edge_capacity[lvl],
+    )
+    cl = frame0.levels[lvl].cloud
+    past = tracker.push_past(past, cl.points, cl.valid, eye4)
+    return ScanVOState(
+        kf=kf,
+        prev=frame0,
+        prev_T_w=eye4,
+        past=past,
+        R=jnp.eye(3),
+        t=jnp.zeros(3),
+        T_nm1_n=eye4,
+        just_added_kf=jnp.array(True),
+        n_keyframes=jnp.int32(1),
+    )
+
+
+def _vo_scan_step(
+    state: ScanVOState, inputs, cfg: SystemConfig
+) -> Tuple[ScanVOState, ScanVOOutput]:
+    gray, depth = inputs
+    frame = build_frame(gray, depth, cfg)
+
+    res = tracker.track_frames(state.kf, frame, state.R, state.t, cfg)
+    T_kf_n = lie.matrix_from_rt(res.R, res.t)
+    T_w_curr = state.kf.T_w_k @ T_kf_n
+
+    if cfg.tracker.check_tracking_results:
+        new_kf = tracker.assess_tracking_quality(
+            state.past, T_w_curr, frame, cfg
+        )
+    else:
+        new_kf = jnp.array(False)
+    promote = new_kf & ~state.just_added_kf
+
+    def promoted_branch(op):
+        state_, frame_, res_ = op
+        kf_new = make_keyframe(state_.prev, state_.prev_T_w, cfg)
+        R0 = state_.T_nm1_n[:3, :3]
+        t0 = state_.T_nm1_n[:3, 3]
+        res2 = tracker.track_frames(kf_new, frame_, R0, t0, cfg)
+        return kf_new, res2
+
+    def normal_branch(op):
+        state_, frame_, res_ = op
+        return state_.kf, res_
+
+    kf, res = jax.lax.cond(
+        promote, promoted_branch, normal_branch, (state, frame, res)
+    )
+    T_kf_n = lie.matrix_from_rt(res.R, res.t)
+    T_w_curr = kf.T_w_k @ T_kf_n
+
+    lvl = cfg.tracker.histogram_level
+    cl = frame.levels[lvl].cloud
+    past = tracker.push_past(state.past, cl.points, cl.valid, T_w_curr)
+
+    # Motion prior (system.cpp:267-271).
+    T_nm1_n = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
+    T_init = T_kf_n @ T_nm1_n
+
+    new_state = ScanVOState(
+        kf=kf,
+        prev=frame,
+        prev_T_w=T_w_curr,
+        past=past,
+        R=T_init[:3, :3] if cfg.init_from_last_pose else jnp.eye(3),
+        t=T_init[:3, 3] if cfg.init_from_last_pose else jnp.zeros(3),
+        T_nm1_n=T_nm1_n,
+        just_added_kf=promote,
+        n_keyframes=state.n_keyframes + promote.astype(jnp.int32),
+    )
+    out = ScanVOOutput(
+        T_w=T_w_curr, error=res.error, good=res.good, promoted=promote
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vo_scan(
+    grays: jax.Array, depths: jax.Array, cfg: SystemConfig
+) -> Tuple[jax.Array, ScanVOOutput, ScanVOState]:
+    """Run full VO over one preloaded sequence ((N,H,W) gray + depth).
+
+    Returns (poses (N,4,4) world-from-camera, per-frame outputs, final
+    state).  Frame 0 is the first keyframe with identity pose.
+    """
+    frame0 = build_frame(grays[0], depths[0], cfg)
+    state0 = _tie_to_input(_init_state(frame0, cfg), grays[0, 0, 0] * 0)
+
+    step = functools.partial(_vo_scan_step, cfg=cfg)
+    final_state, outs = jax.lax.scan(
+        step, state0, (grays[1:], depths[1:])
+    )
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    poses = jnp.concatenate([eye4[None], outs.T_w], axis=0)
+    outs_full = ScanVOOutput(
+        T_w=poses,
+        error=jnp.concatenate([jnp.zeros(1), outs.error]),
+        good=jnp.concatenate([jnp.zeros(1, outs.good.dtype), outs.good]),
+        promoted=jnp.concatenate(
+            [jnp.zeros(1, bool), outs.promoted]
+        ),
+    )
+    return poses, outs_full, final_state
+
+
+def vo_scan_batched(
+    grays: jax.Array,
+    depths: jax.Array,
+    cfg: SystemConfig,
+    mesh: jax.sharding.Mesh | None = None,
+    axis: str = "seq",
+):
+    """Multi-sequence VO: (B, N, H, W) inputs -> (B, N, 4, 4) poses.
+
+    With ``mesh``, sequences are sharded over ``axis`` via shard_map (one or
+    more sequences per device; B must be divisible by the axis size) and the
+    per-sequence keyframe promotion stays a true branch.  Without a mesh,
+    falls back to vmap (both cond branches execute — fine for small B).
+    """
+    if mesh is None:
+        return jax.jit(
+            jax.vmap(lambda g, d: vo_scan(g, d, cfg)[0])
+        )(grays, depths)
+
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(g, d):
+        # Local batch of B/n_axis sequences: scan each (vmap over the local
+        # batch would re-fuse the branches; a local fori over sequences keeps
+        # cond intact and the local batch is typically 1).
+        def one(i, acc):
+            poses, _, _ = vo_scan(g[i], d[i], cfg)
+            return acc.at[i].set(poses)
+
+        n_local = g.shape[0]
+        acc0 = jnp.zeros((n_local, g.shape[1], 4, 4), jnp.float32)
+        acc0 = acc0 + g[0, 0, 0, 0] * 0  # input-derived varying axes
+        return jax.lax.fori_loop(0, n_local, one, acc0)
+
+    return jax.jit(run)(grays, depths)

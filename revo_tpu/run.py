@@ -18,6 +18,7 @@ import numpy as np
 
 
 def _run_dataset(cfg, dataset: str, out_dir: str) -> None:
+    from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
     from revo_tpu.system import VOSystem
 
@@ -30,9 +31,21 @@ def _run_dataset(cfg, dataset: str, out_dir: str) -> None:
     )
     print(f"[revo_tpu] {dataset}: {len(assocs)} frames")
 
-    def frames():
-        for a in assocs:
-            yield load_tum_frame(ds_dir, a, cfg.dataset.depth_scale_factor)
+    if native_loader.native_available():
+        # Native threaded prefetch (replaces the reference's IO thread);
+        # uint8/uint16 frames go to the device raw and convert there.
+        def frames():
+            rgb = [os.path.join(ds_dir, a.rgb_path) for a in assocs]
+            dep = [os.path.join(ds_dir, a.depth_path) for a in assocs]
+            shape = (cfg.camera.height, cfg.camera.width)
+            with native_loader.NativePrefetcher(rgb, dep, shape) as pf:
+                for i, a in enumerate(assocs):
+                    gray_u8, depth_u16 = pf.get(i)
+                    yield gray_u8, depth_u16, a.rgb_ts
+    else:
+        def frames():
+            for a in assocs:
+                yield load_tum_frame(ds_dir, a, cfg.dataset.depth_scale_factor)
 
     vo = VOSystem(cfg)
     pose_file = os.path.join(out_dir, f"poses_{dataset}.txt")

@@ -262,6 +262,60 @@ def lm_level(
     return final.R, final.t, final.last_err, final.sys.info
 
 
+def gn_level_fixed(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R0: jax.Array,
+    t0: jax.Array,
+    opt: OptimizerConfig,
+    lvl: int,
+):
+    """Fixed-iteration branchless LM (the TPU fast path; SURVEY.md §7).
+
+    One fused evaluation per iteration: the candidate pose's system doubles
+    as the next iteration's linearization when accepted; on rejection the
+    damping quadruples and the old system is kept.  A lax.fori_loop with
+    where-gated state — no data-dependent trip counts, vmap/scan friendly.
+    """
+    iters = opt.fixed_iters[lvl]
+    edge_dist = opt.edge_distance_lvl[lvl]
+
+    def evaluate(R, t):
+        return residual_system(
+            struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
+            opt.use_edge_filter,
+        )
+
+    sys0 = evaluate(R0, t0)
+    lam0 = sys0.err * 0 + opt.lambda_initial[lvl] + 1e-5
+
+    def body(_, carry):
+        R, t, sys, lam = carry
+        Ad = sys.A + jnp.diag(jnp.diag(sys.A) * lam)
+        inc = jnp.linalg.solve(Ad, sys.g)
+        inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
+        dR, dt_ = lie.exp_se3(inc)
+        Rn, tn = lie.compose(dR, dt_, R, t)
+        sys_n = evaluate(Rn, tn)
+        accept = sys_n.err < sys.err
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_n, sys)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return R, t, sys, lam
+
+    R, t, sys, _ = jax.lax.fori_loop(0, iters, body, (R0, t0, sys0, lam0))
+    return R, t, sys.err, sys.info
+
+
+def solve_level(struct, cloud, cam, R0, t0, opt, lvl):
+    """Dispatch on OptimizerConfig.solver."""
+    if opt.solver == "gn_fixed":
+        return gn_level_fixed(struct, cloud, cam, R0, t0, opt, lvl)
+    return lm_level(struct, cloud, cam, R0, t0, opt, lvl)
+
+
 def eval_cost(
     dt_img: jax.Array,
     cloud: EdgeCloud,

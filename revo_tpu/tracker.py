@@ -61,7 +61,7 @@ def track_frames(
     err = jnp.float32(jnp.inf)
     info = None
     for lvl in range(pyr.pyr_min_lvl, pyr.pyr_max_lvl - 1, -1):
-        R, t, err, info = solver.lm_level(
+        R, t, err, info = solver.solve_level(
             kf.structs[lvl],
             frame.levels[lvl].cloud,
             cams[lvl],
