@@ -128,6 +128,48 @@ class Keyframe(NamedTuple):
     T_w_k: jax.Array  # (4, 4) keyframe-to-world
 
 
+def generate_colored_pcl(
+    frame: Frame,
+    cfg: SystemConfig,
+    lvl: int = 0,
+    dense: bool = False,
+    rgb01: "jax.Array | None" = None,
+):
+    """Colored point cloud (XYZ + RGB in [0,1]) for export/visualization.
+
+    Mirrors ImgPyramidRGBD::generateColoredPcl (imgpyramidrgbd.cpp:279-327):
+    dense (all valid-depth pixels) or edge-sparse.  Colors come from
+    ``rgb01`` (H, W, 3) if given, else the gray level is replicated.
+    Returns (points (M, 3), colors (M, 3)) as NumPy arrays (host-side
+    export path; M is data-dependent).
+    """
+    import numpy as np
+
+    lv = frame.levels[lvl]
+    cam = cfg.camera_pyramid()[lvl]
+    depth = np.asarray(lv.depth)
+    gray = np.asarray(lv.gray)
+    edges = np.asarray(lv.edges)
+    ok = (
+        np.isfinite(depth)
+        & (depth > cfg.pyramid.depth_min)
+        & (depth < cfg.pyramid.depth_max)
+    )
+    if not dense:
+        ok &= edges
+    ys, xs = np.nonzero(ok)
+    z = depth[ys, xs]
+    pts = np.stack(
+        [z * (xs - cam.cx) / cam.fx, z * (ys - cam.cy) / cam.fy, z], axis=-1
+    ).astype(np.float32)
+    if rgb01 is not None:
+        clr = np.asarray(rgb01)[ys, xs].astype(np.float32)
+    else:
+        g01 = (gray[ys, xs] / 255.0).astype(np.float32)
+        clr = np.stack([g01, g01, g01], axis=-1)
+    return pts, clr
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def make_keyframe(frame: Frame, T_w_k: jax.Array, cfg: SystemConfig) -> Keyframe:
     structs = tuple(
