@@ -67,6 +67,10 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
         depth = depth.astype(jnp.float32)
     pyr = cfg.pyramid
     cams = cfg.camera_pyramid()
+    if pyr.use_pallas_canny and jax.default_backend() == "tpu":
+        from revo_tpu.ops.pallas.canny_kernel import canny_pallas as canny_fn
+    else:
+        canny_fn = ops.canny
     levels = []
     g, d = gray, depth
     prev_edges = None
@@ -76,7 +80,7 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
             canny_in = ops.gaussian_blur(g)
         else:
             canny_in = g
-        edges = ops.canny(canny_in, pyr.canny_threshold1, pyr.canny_threshold2)
+        edges = canny_fn(canny_in, pyr.canny_threshold1, pyr.canny_threshold2)
         edges_orig = edges
         patch = pyr.dist_patch_sizes[lvl]
         counts, occupancy = ops.patch_histogram(edges, patch)
