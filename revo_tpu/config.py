@@ -122,6 +122,15 @@ class TrackerConfig:
     # Final good/bad ratio below which a new keyframe is requested
     # (tracker.cpp:351).
     good_bad_ratio_new_kf: float = 4.0
+    # Relocalization — the reference declares TRACKER_STATE_LOST but leaves
+    # relocalization unimplemented (tracker.h:62-65); we implement it: when
+    # the final mean weighted error exceeds the threshold (or too few good
+    # points survive), the frame is re-tracked against the recent-keyframe
+    # ring from identity and the best result re-anchors tracking.
+    enable_relocalization: bool = True
+    reloc_error_threshold: float = 2.0  # mean weighted DT error (px)
+    reloc_min_good: int = 100
+    kf_history_size: int = 5
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 
 

@@ -1,0 +1,267 @@
+"""Windowed multi-frame joint pose optimization ("windowed BA").
+
+The reference declares but never ships this capability (its
+``windowedoptimization`` module is commented out of the build,
+CMakeLists.txt:152-153, and ``Optimizer::bundleAdjustment`` is declared but
+undefined, optimizer.h:164-165).  Here it is, TPU-first:
+
+A window of W frames is optimized JOINTLY: every ordered pair (i, j) from a
+chosen co-visibility set contributes edge-alignment residuals — frame j's
+edge cloud projected into frame i's DT structure (the same residual the
+tracker minimizes pairwise, solver.py) — and one Gauss-Newton step couples
+all 6W pose unknowns through the stacked normal equations
+
+    H[i,i] += Ji^T W Ji,  H[i,j] += Ji^T W Jj,  ... b[i] -= Ji^T W r
+
+with the pair Jacobians chained from the relative-pose Jacobian of the
+tracker via the adjoint.  There are no landmark unknowns (edge-DT residuals
+marginalize structure by construction), so the system is already the
+"reduced camera system" a Schur complement would produce in feature BA.
+
+Distribution (BASELINE.json config 5): pairs are sharded across a mesh axis
+with shard_map; each device accumulates its pairs' block contributions and
+the (W, W, 6, 6) Hessian is reduced with psum — collectives ride ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revo_tpu import lie
+from revo_tpu.config import CameraConfig, OptimizerConfig
+from revo_tpu.ops.backproject import EdgeCloud
+from revo_tpu.ops.interp import bilinear_sample
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class Window(NamedTuple):
+    """Fixed-shape window state at ONE pyramid level.
+
+    structs: (W, H, Wd, 3) per-frame DT structures
+    points:  (W, P, 3) per-frame edge clouds, valid (W, P)
+    poses:   (W, 4, 4) world-from-frame initial poses
+    """
+
+    structs: jax.Array
+    points: jax.Array
+    valid: jax.Array
+    poses: jax.Array
+
+
+def _pair_system(
+    struct_i: jax.Array,
+    pts_j: jax.Array,
+    valid_j: jax.Array,
+    T_i: jax.Array,
+    T_j: jax.Array,
+    cam: CameraConfig,
+    huber: float,
+    edge_distance: float,
+):
+    """Residuals of frame j's cloud in frame i's DT + per-pose Jacobians.
+
+    Let T_rel = T_i^-1 T_j (j-frame -> i-frame).  r(p) = DT_i(proj(T_rel p)).
+    d r / d xi_rel is the tracker's 6-dof Jacobian (solver.py:150-166).
+    With left-multiplicative world updates T_k <- exp(xi_k) T_k:
+        d xi_rel / d xi_j =  Ad(T_i^-1),   d xi_rel / d xi_i = -Ad(T_i^-1).
+    Returns (Jr (P, 6) w.r.t. xi_rel, Ad (6, 6), r, w, good-mask).
+    """
+    T_rel = jnp.linalg.inv(T_i) @ T_j
+    R, t = T_rel[:3, :3], T_rel[:3, 3]
+    wxp = pts_j @ R.T + t
+    pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
+    u = wxp[:, 0] / pz * cam.fx + cam.cx
+    v = wxp[:, 1] / pz * cam.fy + cam.cy
+    inb = (u > 1.0) & (v > 1.0) & (u < cam.width - 2.0) & (
+        v < cam.height - 2.0
+    )
+    inb = inb & valid_j
+    samp = bilinear_sample(struct_i, u, v)
+    r = samp[:, 2]
+    good = inb & (r <= edge_distance)
+    gx = cam.fx * samp[:, 0]
+    gy = cam.fy * samp[:, 1]
+    r_safe = jnp.where(r == 0, 1.0, r)
+    w = jnp.where(r <= huber, 1.0, huber / r_safe) * good
+
+    iz = 1.0 / pz
+    iz2 = iz * iz
+    px, py = wxp[:, 0], wxp[:, 1]
+    Jr = jnp.stack(
+        [
+            iz * gx,
+            iz * gy,
+            (-px * iz2) * gx + (-py * iz2) * gy,
+            (-px * py * iz2) * gx - (1.0 + py * py * iz2) * gy,
+            (1.0 + px * px * iz2) * gx + (px * py * iz2) * gy,
+            (-py * iz) * gx + (px * iz) * gy,
+        ],
+        axis=-1,
+    )
+    Ti_inv = jnp.linalg.inv(T_i)
+    Ad = lie.adjoint_se3(Ti_inv[:3, :3], Ti_inv[:3, 3])
+    return Jr, Ad, r, w, good
+
+
+def _accumulate_pairs(
+    window: Window,
+    pair_i: jax.Array,
+    pair_j: jax.Array,
+    pair_w: jax.Array,
+    cam: CameraConfig,
+    opt: OptimizerConfig,
+    lvl: int,
+    n_frames: int,
+):
+    """Block normal equations over a (possibly sharded) set of pairs."""
+    huber = opt.huber_edge
+    edge_dist = opt.edge_distance_lvl[lvl]
+
+    def one_pair(pi, pj, pw):
+        Jr, Ad, r, w, good = _pair_system(
+            window.structs[pi],
+            window.points[pj],
+            window.valid[pj],
+            window.poses[pi],
+            window.poses[pj],
+            cam,
+            huber,
+            edge_dist,
+        )
+        n = jnp.maximum(good.sum(), 1).astype(jnp.float32)
+        # Relative-frame system, then chain to world frames via Ad.
+        A_rel = jnp.einsum("pi,pj->ij", Jr * w[:, None], Jr, precision=_PREC) / n
+        g_rel = jnp.einsum("pi,p->i", Jr, w * r, precision=_PREC) / n
+        # J_j = Jr Ad, J_i = -Jr Ad  (w.r.t. world tangents)
+        A_blk = Ad.T @ A_rel @ Ad * pw  # (6, 6)
+        g_blk = Ad.T @ g_rel * pw  # (6,)
+        err = jnp.sum(w * r * r) / n * pw
+        return A_blk, g_blk, err
+
+    A_blks, g_blks, errs = jax.vmap(one_pair)(pair_i, pair_j, pair_w)
+
+    H = jnp.zeros((n_frames, n_frames, 6, 6), jnp.float32)
+    b = jnp.zeros((n_frames, 6), jnp.float32)
+    H = H.at[pair_j, pair_j].add(A_blks)
+    H = H.at[pair_i, pair_i].add(A_blks)
+    H = H.at[pair_i, pair_j].add(-A_blks)
+    H = H.at[pair_j, pair_i].add(-A_blks)
+    b = b.at[pair_j].add(g_blks)
+    b = b.at[pair_i].add(-g_blks)
+    return H, b, errs.sum()
+
+
+def _gn_update(poses, H, b, n_frames, damping):
+    Hd = H.transpose(0, 2, 1, 3).reshape(6 * n_frames, 6 * n_frames)
+    bd = b.reshape(6 * n_frames)
+    mask = jnp.ones(6 * n_frames).at[:6].set(0.0)  # gauge: fix frame 0
+    Hd = Hd * mask[:, None] * mask[None, :]
+    # Multiplicative LM damping (A_ii *= 1 + lambda, like the tracker,
+    # optimizer.cpp:261) — plain GN overshoots on the nonconvex DT surface.
+    diag = jnp.diag(Hd)
+    Hd = Hd + jnp.diag(
+        jnp.where(mask > 0, diag * damping + 1e-9, 1.0)
+    )
+    bd = bd * mask
+    # The tracker's sign convention: g accumulates +J^T w r and the update
+    # is exp(+H^-1 g) thanks to the negated DT gradients (solver.py header).
+    xi = jnp.linalg.solve(Hd, bd).reshape(n_frames, 6)
+    xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+    dR, dt = lie.exp_se3(xi)
+    return lie.matrix_from_rt(dR, dt) @ poses
+
+
+def make_pairs(n_frames: int, radius: int = 2):
+    """Co-visibility pairs: all ordered (i, j), i != j, |i - j| <= radius."""
+    pi, pj = [], []
+    for i in range(n_frames):
+        for j in range(n_frames):
+            if i != j and abs(i - j) <= radius:
+                pi.append(i)
+                pj.append(j)
+    return (
+        jnp.asarray(pi, jnp.int32),
+        jnp.asarray(pj, jnp.int32),
+        jnp.ones(len(pi), jnp.float32),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "opt", "lvl", "iters")
+)
+def optimize_window(
+    window: Window,
+    pair_i: jax.Array,
+    pair_j: jax.Array,
+    pair_w: jax.Array,
+    cam: CameraConfig,
+    opt: OptimizerConfig,
+    lvl: int = 0,
+    iters: int = 10,
+    damping: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Joint GN over the window; returns (refined poses, final error)."""
+    n_frames = window.poses.shape[0]
+
+    def body(_, carry):
+        poses, _ = carry
+        win = window._replace(poses=poses)
+        H, b, err = _accumulate_pairs(
+            win, pair_i, pair_j, pair_w, cam, opt, lvl, n_frames
+        )
+        poses = _gn_update(poses, H, b, n_frames, damping)
+        return poses, err
+
+    poses, err = jax.lax.fori_loop(
+        0, iters, body, (window.poses, jnp.float32(0.0))
+    )
+    return poses, err
+
+
+def optimize_window_sharded(
+    window: Window,
+    cam: CameraConfig,
+    opt: OptimizerConfig,
+    mesh: jax.sharding.Mesh,
+    axis: str = "pair",
+    lvl: int = 0,
+    iters: int = 10,
+    radius: int = 2,
+    damping: float = 1.0,
+) -> jax.Array:
+    """Distributed windowed optimization: pairs sharded over ``axis``,
+    block Hessians psum-reduced, replicated solve."""
+    from jax.sharding import PartitionSpec as P
+
+    n_frames = window.poses.shape[0]
+    pi, pj, pw = make_pairs(n_frames, radius)
+    n_dev = mesh.shape[axis]
+    # Pad pairs to a multiple of the axis size with weight-0 lanes.
+    pad = (-len(pi)) % n_dev
+    pi = jnp.concatenate([pi, jnp.zeros(pad, jnp.int32)])
+    pj = jnp.concatenate([pj, jnp.ones(pad, jnp.int32)])
+    pw = jnp.concatenate([pw, jnp.zeros(pad, jnp.float32)])
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(win, pi_l, pj_l, pw_l):
+        def body(_, poses):
+            w = win._replace(poses=poses)
+            H, b, _ = _accumulate_pairs(
+                w, pi_l, pj_l, pw_l, cam, opt, lvl, n_frames
+            )
+            H = jax.lax.psum(H, axis)
+            b = jax.lax.psum(b, axis)
+            return _gn_update(poses, H, b, n_frames, damping)
+
+        return jax.lax.fori_loop(0, iters, body, win.poses)
+
+    return jax.jit(run)(window, pi, pj, pw)

@@ -93,6 +93,8 @@ class VOSystem:
         self.just_added_kf = False
         self.n_frames = 0
         self.n_keyframes = 0
+        self.n_tracking_lost = 0
+        self.kf_history: List[Keyframe] = []  # recent keyframes for reloc
         self.dt_times: List[float] = []
         self.tracking_times: List[float] = []
 
@@ -111,6 +113,34 @@ class VOSystem:
         jax.block_until_ready(self.kf.structs)
         self.dt_times.append((time.perf_counter() - t0) * 1000.0)
         self.n_keyframes += 1
+        self.kf_history.append(self.kf)
+        if len(self.kf_history) > self.cfg.tracker.kf_history_size:
+            self.kf_history.pop(0)
+
+    def _is_lost(self, res) -> bool:
+        trk = self.cfg.tracker
+        return bool(
+            float(res.error) > trk.reloc_error_threshold
+            or int(res.good) < trk.reloc_min_good
+        )
+
+    def _relocalize(self, frame: Frame):
+        """Track against the recent-keyframe ring from identity; return
+        (keyframe, result) of the best candidate or (None, None).
+
+        The reference's TRACKER_STATE_LOST dead-ends (tracker.h:62-65);
+        this is our implementation of the missing recovery path.
+        """
+        best = None
+        for kf in reversed(self.kf_history):
+            res = tracker.track_frames(
+                kf, frame, jnp.eye(3), jnp.zeros(3), self.cfg
+            )
+            if self._is_lost(res):
+                continue
+            if best is None or float(res.error) < float(best[1].error):
+                best = (kf, res)
+        return best if best is not None else (None, None)
 
     # -- main entry ----------------------------------------------------------
 
@@ -138,6 +168,32 @@ class VOSystem:
 
         t_start = time.perf_counter()
         res = tracker.track_frames(self.kf, frame, self.R, self.t, cfg)
+
+        if cfg.tracker.enable_relocalization and self._is_lost(res):
+            kf_r, res_r = self._relocalize(frame)
+            if kf_r is not None:
+                self.kf = kf_r
+                res = res_r
+            else:
+                # Still lost: constant-velocity propagation, no graph decay.
+                self.n_tracking_lost += 1
+                T_w_prev = self.pose_graph[-1].T_w_curr
+                T_w_curr = (T_w_prev @ self.T_nm1_n).astype(np.float32)
+                node = PoseNode(
+                    T_kf_curr=np.linalg.inv(np.asarray(self.kf.T_w_k))
+                    @ T_w_curr,
+                    T_w_kf=np.asarray(self.kf.T_w_k),
+                    timestamp=timestamp,
+                )
+                self.pose_graph.append(node)
+                self.tracking_times.append(
+                    (time.perf_counter() - t_start) * 1000.0
+                )
+                self.prev_frame = frame
+                self.n_frames += 1
+                self.just_added_kf = False
+                return node.T_w_curr
+
         T_kf_n = np.asarray(lie.matrix_from_rt(res.R, res.t))
         T_w_kf = np.asarray(self.kf.T_w_k)
         T_w_curr = T_w_kf @ T_kf_n
@@ -217,7 +273,7 @@ class VOSystem:
         return VOReport(
             frames_tracked=len(self.pose_graph),
             keyframes=self.n_keyframes,
-            tracking_lost=0,
+            tracking_lost=self.n_tracking_lost,
             mean_dt_time_ms=float(np.mean(self.dt_times))
             if self.dt_times
             else 0.0,

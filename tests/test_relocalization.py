@@ -1,0 +1,71 @@
+"""Relocalization tests — the recovery path the reference never implemented
+(tracker.h:62-65 TRACKER_STATE_LOST dead-ends there)."""
+import dataclasses
+
+import numpy as np
+
+from revo_tpu.io.synthetic import SyntheticScene, render_frame, render_sequence
+from revo_tpu.system import VOSystem
+
+from test_solver import small_cfg
+
+
+class TestRelocalization:
+    def test_teleport_recovers_via_keyframe_ring(self):
+        """After a camera 'teleport' back to the first keyframe's view with a
+        stale motion prior, relocalization must snap to the old keyframe."""
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        vo = VOSystem(cfg)
+        poses = []
+        frames = list(render_sequence(scene, cfg.camera, 10, seed=11))
+        for gray, depth, T, ts in frames:
+            poses.append(vo.process_frame(gray, depth, ts))
+
+        # Teleport: next frame is rendered at a pose FAR from the current
+        # one but identical to frame 0's view.
+        g0, d0 = render_frame(scene, cfg.camera, frames[0][2])
+        # poison the motion prior so plain tracking from it fails
+        vo.T_nm1_n = np.eye(4, dtype=np.float32)
+        vo.T_nm1_n[:3, 3] = [1.5, 1.0, -0.8]
+        import jax.numpy as jnp
+
+        vo.R = jnp.asarray(vo.T_nm1_n[:3, :3])
+        vo.t = jnp.asarray(vo.T_nm1_n[:3, 3])
+        pose = vo.process_frame(g0, d0, 99.0)
+        err = np.linalg.norm(pose[:3, 3] - frames[0][2][:3, 3])
+        assert err < 0.02, f"teleport pose error {err:.3f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_unrecoverable_marks_lost_and_propagates(self):
+        """A garbage frame (no structure) marks LOST and coasts on the
+        constant-velocity prior instead of corrupting the trajectory."""
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        vo = VOSystem(cfg)
+        for gray, depth, T, ts in render_sequence(scene, cfg.camera, 6, seed=12):
+            last = vo.process_frame(gray, depth, ts)
+        flat = np.full(
+            (cfg.camera.height, cfg.camera.width), 128.0, np.float32
+        )
+        nodepth = np.zeros_like(flat)
+        pose = vo.process_frame(flat, nodepth, 99.0)
+        assert vo.n_tracking_lost == 1
+        # coasting: pose = last @ T_nm1_n, finite and close to last
+        assert np.isfinite(pose).all()
+        assert np.linalg.norm(pose[:3, 3] - last[:3, 3]) < 0.05
+
+    def test_disabled_reloc_keeps_reference_behavior(self):
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(
+                cfg.tracker, enable_relocalization=False
+            ),
+        )
+        scene = SyntheticScene()
+        vo = VOSystem(cfg)
+        for gray, depth, T, ts in render_sequence(scene, cfg.camera, 5, seed=13):
+            vo.process_frame(gray, depth, ts)
+        assert vo.n_tracking_lost == 0
+        assert len(vo.kf_history) >= 1
