@@ -45,7 +45,12 @@ def rgb_to_gray(rgb: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
+def build_frame(
+    gray: jax.Array,
+    depth: jax.Array,
+    cfg: SystemConfig,
+    undistort_maps=None,
+) -> Frame:
     """Build the full pyramid from full-res gray (uint8-valued f32) + depth.
 
     Mirrors the ImgPyramidRGBD ctor (imgpyramidrgbd.cpp:43-96) with static
@@ -65,6 +70,14 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SystemConfig) -> Frame:
         )
     elif depth.dtype != jnp.float32:
         depth = depth.astype(jnp.float32)
+    if undistort_maps is not None:
+        # cv::remap CV_INTER_LINEAR on gray AND depth, like the reference
+        # (imgpyramidrgbd.cpp:57-65).
+        from revo_tpu.ops.undistort import remap_bilinear
+
+        map_u, map_v = undistort_maps
+        gray = jnp.round(remap_bilinear(gray, map_u, map_v))
+        depth = remap_bilinear(depth, map_u, map_v)
     pyr = cfg.pyramid
     cams = cfg.camera_pyramid()
     if pyr.use_pallas_canny and jax.default_backend() == "tpu":

@@ -80,6 +80,13 @@ class VOSystem:
 
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
+        if cfg.pyramid.undistort:
+            from revo_tpu.ops.undistort import build_undistort_maps
+
+            mu, mv = build_undistort_maps(cfg.camera)
+            self.undistort_maps = (jnp.asarray(mu), jnp.asarray(mv))
+        else:
+            self.undistort_maps = None
         self.pose_graph: List[PoseNode] = []
         self.kf: Optional[Keyframe] = None
         self.prev_frame: Optional[Frame] = None
@@ -149,7 +156,9 @@ class VOSystem:
     ) -> np.ndarray:
         """Process one frame; returns its estimated world pose (4, 4)."""
         cfg = self.cfg
-        frame = build_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
+        frame = build_frame(
+            jnp.asarray(gray), jnp.asarray(depth), cfg, self.undistort_maps
+        )
 
         if self.n_frames == 0:
             self._make_keyframe(frame, np.eye(4, dtype=np.float32))
