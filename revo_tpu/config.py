@@ -102,6 +102,9 @@ class OptimizerConfig:
     # iterations.  ATE parity is gated in tests/test_solver_modes.py.
     solver: str = "lm"
     fixed_iters: Tuple[int, ...] = (12, 12, 12, 12, 12, 12)  # per level
+    # Accumulate the 6x6 normal equations with the Pallas LGSX reduction
+    # kernel (ops/pallas/lgsx.py) instead of XLA einsums.
+    use_pallas_lgsx: bool = False
 
 
 @dataclass(frozen=True)

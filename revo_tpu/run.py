@@ -84,8 +84,20 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int) -> int:
     pose_file = os.path.join(out_dir, "poses_synthetic.txt")
     poses, _, report = vo.run(frames(), pose_file=pose_file)
     _print_report(report, pose_file)
-    ate = absolute_trajectory_error(poses, np.stack(gt))
-    rpe = relative_pose_error(poses, np.stack(gt))
+    gt_arr = np.stack(gt)
+    try:
+        from revo_tpu.viz import plot_error, plot_trajectory
+
+        plot_trajectory(
+            os.path.join(out_dir, "trajectory.png"), poses, gt_arr,
+            title="synthetic VO",
+        )
+        plot_error(os.path.join(out_dir, "ate_error.png"), poses, gt_arr)
+        print(f"Plots written to {out_dir}/trajectory.png, ate_error.png")
+    except ImportError:
+        pass
+    ate = absolute_trajectory_error(poses, gt_arr)
+    rpe = relative_pose_error(poses, gt_arr)
     print(
         f"ATE-RMSE: {ate.rmse * 100:.2f} cm  (mean {ate.mean * 100:.2f}, "
         f"max {ate.max * 100:.2f})"

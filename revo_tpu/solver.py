@@ -52,7 +52,7 @@ class LevelSystem(NamedTuple):
     info: ResidualInfo
 
 
-def residual_system(
+def _residual_sums(
     struct: jax.Array,
     cloud: EdgeCloud,
     cam: CameraConfig,
@@ -61,12 +61,13 @@ def residual_system(
     edge_distance: float,
     huber: float,
     use_edge_filter: bool,
-) -> LevelSystem:
-    """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
+    use_pallas_lgsx: bool = False,
+):
+    """Unnormalized accumulation over (a shard of) the edge cloud.
 
-    (optimizer.cpp:74-191, 192-234).  All P lanes compute; masks zero the
-    invalid ones so the normal equations match the reference's
-    good-points-only accumulation divided by the good count (LGSX.h:320-326).
+    Returns (A_sum, g_sum, sum_w, sum_unw, n_good, n_bad) — pure sums, so a
+    psum over point shards composes exactly (the distributed 'TP analog' of
+    SURVEY.md §2.2: the edge-point dimension of the LGS reduction).
     """
     pts = cloud.points  # (P, 3)
     w_img, h_img = cam.width, cam.height
@@ -90,49 +91,125 @@ def residual_system(
     else:
         pass_filter = jnp.ones_like(r, dtype=bool)
     good = in_bounds & pass_filter
-    bad = (cloud.valid & ~good).sum().astype(jnp.int32)
+    n_bad = (cloud.valid & ~good).sum().astype(jnp.int32)
     n_good = good.sum().astype(jnp.int32)
 
     # Huber-style weight (optimizer.h:156-160): w = 1 for r <= huber else
     # huber / r (r is a distance, always >= 0).
     r_safe = jnp.where(r == 0, 1.0, r)
     w_r = jnp.where(r <= huber, 1.0, huber / r_safe)
-
-    # 6-dof Jacobian per point (optimizer.cpp:216-228, Kerl MSc p.34;
-    # fx/fy premultiplied onto the gradient).
-    iz = 1.0 / pz_safe
-    iz2 = iz * iz
-    J = jnp.stack(
-        [
-            iz * gx,
-            iz * gy,
-            (-px * iz2) * gx + (-py * iz2) * gy,
-            (-px * py * iz2) * gx - (1.0 + py * py * iz2) * gy,
-            (1.0 + px * px * iz2) * gx + (px * py * iz2) * gy,
-            (-py * iz) * gx + (px * iz) * gy,
-        ],
-        axis=-1,
-    )  # (P, 6)
-
     gm = good.astype(jnp.float32)
     wg = w_r * gm
-    n = jnp.maximum(n_good, 1).astype(jnp.float32)
-    A = jnp.einsum("pi,pj->ij", J * wg[:, None], J, precision=_PREC) / n
-    gvec = jnp.einsum("pi,p->i", J, wg * r, precision=_PREC) / n
-    sum_w = jnp.sum(wg * r * r)
+
+    if use_pallas_lgsx:
+        from revo_tpu.ops.pallas.lgsx import lgsx_reduce
+
+        A, gvec, sum_w = lgsx_reduce(
+            wxp, jnp.stack([gx, gy], axis=-1), r, wg
+        )
+    else:
+        # 6-dof Jacobian per point (optimizer.cpp:216-228, Kerl MSc p.34;
+        # fx/fy premultiplied onto the gradient).
+        iz = 1.0 / pz_safe
+        iz2 = iz * iz
+        J = jnp.stack(
+            [
+                iz * gx,
+                iz * gy,
+                (-px * iz2) * gx + (-py * iz2) * gy,
+                (-px * py * iz2) * gx - (1.0 + py * py * iz2) * gy,
+                (1.0 + px * px * iz2) * gx + (px * py * iz2) * gy,
+                (-py * iz) * gx + (px * iz) * gy,
+            ],
+            axis=-1,
+        )  # (P, 6)
+        A = jnp.einsum("pi,pj->ij", J * wg[:, None], J, precision=_PREC)
+        gvec = jnp.einsum("pi,p->i", J, wg * r, precision=_PREC)
+        sum_w = jnp.sum(wg * r * r)
     sum_unw = jnp.sum(gm * r * r)
-    err = sum_w / n
+    return A, gvec, sum_w, sum_unw, n_good, n_bad
+
+
+def _normalize_sums(A, gvec, sum_w, sum_unw, n_good, n_bad) -> LevelSystem:
+    n = jnp.maximum(n_good, 1).astype(jnp.float32)
     return LevelSystem(
-        err=err,
-        A=A,
-        g=gvec,
+        err=sum_w / n,
+        A=A / n,
+        g=gvec / n,
         info=ResidualInfo(
             good=n_good,
-            bad=bad,
+            bad=n_bad,
             sum_error_weighted=sum_w,
             sum_error_unweighted=sum_unw,
         ),
     )
+
+
+def residual_system(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R: jax.Array,
+    t: jax.Array,
+    edge_distance: float,
+    huber: float,
+    use_edge_filter: bool,
+    use_pallas_lgsx: bool = False,
+) -> LevelSystem:
+    """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
+
+    (optimizer.cpp:74-191, 192-234).  All P lanes compute; masks zero the
+    invalid ones so the normal equations match the reference's
+    good-points-only accumulation divided by the good count (LGSX.h:320-326).
+    """
+    return _normalize_sums(
+        *_residual_sums(
+            struct, cloud, cam, R, t, edge_distance, huber, use_edge_filter,
+            use_pallas_lgsx,
+        )
+    )
+
+
+def residual_system_point_sharded(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R: jax.Array,
+    t: jax.Array,
+    edge_distance: float,
+    huber: float,
+    use_edge_filter: bool,
+    mesh: jax.sharding.Mesh,
+    axis: str = "pt",
+) -> LevelSystem:
+    """Edge-point-sharded normal equations: the 'tensor parallel' analog for
+    VO (SURVEY.md §2.2 TP row) — each device reduces its point shard, the
+    6x6 systems meet in a psum over ``axis``.
+
+    cloud arrays must divide by the axis size (pad with invalid lanes).
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    @_ft.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    def run(struct_rep, pts, valid, R_rep, t_rep):
+        local = EdgeCloud(
+            points=pts, valid=valid, count=valid.sum().astype(jnp.int32)
+        )
+        sums = _residual_sums(
+            struct_rep, local, cam, R_rep, t_rep, edge_distance, huber,
+            use_edge_filter,
+        )
+        return tuple(jax.lax.psum(s, axis) for s in sums)
+
+    sums = run(struct, cloud.points, cloud.valid, R, t)
+    return _normalize_sums(*sums)
 
 
 class _LMState(NamedTuple):
@@ -168,7 +245,7 @@ def lm_level(
     def evaluate(R, t):
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
-            opt.use_edge_filter,
+            opt.use_edge_filter, opt.use_pallas_lgsx,
         )
 
     sys0 = evaluate(R0, t0)
@@ -284,7 +361,7 @@ def gn_level_fixed(
     def evaluate(R, t):
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
-            opt.use_edge_filter,
+            opt.use_edge_filter, opt.use_pallas_lgsx,
         )
 
     sys0 = evaluate(R0, t0)

@@ -11,9 +11,12 @@ from revo_tpu.viz.ply import (
     export_keyframe_frusta_ply,
     export_trajectory_ply,
 )
+from revo_tpu.viz.plot import plot_error, plot_trajectory
 
 __all__ = [
     "export_colored_pcl_ply",
     "export_keyframe_frusta_ply",
     "export_trajectory_ply",
+    "plot_error",
+    "plot_trajectory",
 ]

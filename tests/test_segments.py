@@ -117,3 +117,20 @@ class TestPLYExport:
         traj_path = os.path.join(tmp_path, "traj.ply")
         export_trajectory_ply(traj_path, poses)
         assert "element edge 2" in open(traj_path).read()
+
+
+class TestPlots:
+    def test_plot_files_written(self, tmp_path):
+        from revo_tpu.viz import plot_error, plot_trajectory
+
+        rng = np.random.default_rng(0)
+        poses = np.tile(np.eye(4, dtype=np.float64), (10, 1, 1))
+        poses[:, :3, 3] = np.cumsum(rng.normal(size=(10, 3)) * 0.01, axis=0)
+        gt = poses.copy()
+        gt[:, :3, 3] += rng.normal(size=(10, 3)) * 0.002
+        p1 = os.path.join(tmp_path, "traj.png")
+        p2 = os.path.join(tmp_path, "err.png")
+        plot_trajectory(p1, poses, gt)
+        plot_error(p2, poses, gt)
+        assert os.path.getsize(p1) > 5000
+        assert os.path.getsize(p2) > 5000
