@@ -7,6 +7,11 @@ Here the candidate and reachable masks are VMEM-resident for the whole
 fixpoint: per while-iteration we apply UNROLL 3x3 binary dilations (shift +
 max on the VPU, borders zeroed) and stop when the reachable count stops
 growing — bit-identical to OpenCV's BFS hysteresis, like the XLA path.
+
+Batching: a plain jax.vmap of a whole-image pallas_call fuses the batch into
+ONE kernel block and blows the 16 MB VMEM budget; a custom_vmap rule routes
+batched calls to a grid-over-batch variant (one image per grid step, VMEM
+-safe at any batch size).
 """
 from __future__ import annotations
 
@@ -23,10 +28,10 @@ _UNROLL = 8
 def _shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
     """Zero-fill shift via roll + border zeroing (VPU-friendly).
 
-    out[y, x] = x[y + dy, x + dx] with zeros outside.
+    out[y, x] = x[y + dy, x + dx] with zeros outside.  pltpu.roll requires
+    non-negative shifts; -k == size - k (circular), then borders are zeroed.
     """
     h, w = x.shape
-    # pltpu.roll requires non-negative shifts; -k == size - k (circular).
     out = pltpu.roll(x, (-dy) % h, 0) if dy else x
     out = pltpu.roll(out, (-dx) % w, 1) if dx else out
     if dy:
@@ -52,9 +57,7 @@ def _dilate(x: jax.Array) -> jax.Array:
     return m
 
 
-def _kernel(cand_ref, strong_ref, out_ref, *, max_iters: int):
-    cand = cand_ref[:]
-    reach = strong_ref[:]
+def _fixpoint(cand, reach, max_iters):
 
     def cond(state):
         reach, prev, it = state
@@ -72,29 +75,82 @@ def _kernel(cand_ref, strong_ref, out_ref, *, max_iters: int):
     reach, _, _ = jax.lax.while_loop(
         cond, body, (reach, zero - 1.0, zero)
     )
-    out_ref[:] = reach
+    return reach
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel2d(cand_ref, strong_ref, out_ref, *, max_iters: int):
+    out_ref[:] = _fixpoint(cand_ref[:], strong_ref[:], max_iters)
+
+
+def _kernel(cand_ref, strong_ref, out_ref, *, max_iters: int):
+    out_ref[0] = _fixpoint(cand_ref[0], strong_ref[0], max_iters)
+
+
+def _run_batched(cand_b: jax.Array, strong_b: jax.Array) -> jax.Array:
+    """(B, H, W) f32 masks -> (B, H, W) f32; one image per grid step.
+
+    B == 1 skips the grid machinery (measurably cheaper for the streaming
+    single-frame path)."""
+    interpret = jax.default_backend() != "tpu"
+    b, h, w = cand_b.shape
+    if b == 1:
+        out = pl.pallas_call(
+            functools.partial(_kernel2d, max_iters=h + w),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(cand_b[0], strong_b[0])
+        return out[None]
+    return pl.pallas_call(
+        functools.partial(_kernel, max_iters=h + w),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cand_b, strong_b)
+
+
+@jax.custom_batching.custom_vmap
+def _hysteresis_f32(cand: jax.Array, strong: jax.Array) -> jax.Array:
+    return _run_batched(cand[None], strong[None])[0]
+
+
+@_hysteresis_f32.def_vmap
+def _hysteresis_vmap_rule(axis_size, in_batched, cand, strong):
+    if not in_batched[0]:
+        cand = jnp.broadcast_to(cand, (axis_size,) + cand.shape)
+    if not in_batched[1]:
+        strong = jnp.broadcast_to(strong, (axis_size,) + strong.shape)
+    return _run_batched(cand, strong), True
+
+
 def hysteresis_pallas(
     cand: jax.Array, strong: jax.Array, interpret: bool | None = None
 ) -> jax.Array:
     """Grow ``strong`` through ``cand`` with 8-connectivity to fixpoint.
 
-    Inputs are bool (H, W); output bool.  ``interpret`` defaults to True off
-    -TPU so tests run the same kernel on CPU.
+    Inputs bool (H, W); output bool.  Runs interpreted off-TPU so the CPU
+    test suite exercises the same kernel; vmap-safe at any batch size.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    h, w = cand.shape
-    out = pl.pallas_call(
-        functools.partial(_kernel, max_iters=h + w),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(cand.astype(jnp.float32), strong.astype(jnp.float32))
+    del interpret  # resolved per-call from the backend
+    out = _hysteresis_f32(
+        cand.astype(jnp.float32), strong.astype(jnp.float32)
+    )
     return out > 0.5

@@ -84,10 +84,9 @@ def _solve_and_update(
     # Gauge fixing: pin node 0 by zeroing its rows/cols and setting identity.
     mask = jnp.ones(6 * n).at[:6].set(0.0)
     Hd = Hd * mask[:, None] * mask[None, :]
-    Hd = Hd + jnp.diag(
-        jnp.where(mask > 0, damping, 1.0)
-        + jnp.diag(Hd) * 0.0
-    )
+    # Pinned rows get an identity diagonal (so xi_0 = 0 exactly); free rows
+    # get light Tikhonov damping.
+    Hd = Hd + jnp.diag(jnp.where(mask > 0, damping, 1.0))
     bd = bd * mask
     xi = jnp.linalg.solve(Hd, bd).reshape(n, 6)
     dR, dt = lie.exp_se3(xi)
