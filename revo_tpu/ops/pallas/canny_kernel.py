@@ -107,6 +107,36 @@ def _nms_kernel2d(gray_pad_ref, cand_ref, strong_ref, mag_ref, *, low_sq,
     strong_ref[:] = strong
 
 
+def _full_kernel2d(gray_pad_ref, out_ref, mag_ref, *, low_sq, high_sq,
+                   max_iters):
+    """NMS + hysteresis in ONE kernel (single-image path): per-call launch
+    overhead dominates on this platform, so fewer kernels beats smaller
+    kernels once vmem_limit_bytes is raised past the 16 MB default."""
+    from revo_tpu.ops.pallas.hysteresis import _fixpoint
+
+    cand, strong = _nms_core(gray_pad_ref[:], mag_ref, low_sq, high_sq)
+    out_ref[:] = _fixpoint(cand, strong, max_iters)
+
+
+def _canny_single(gp: jax.Array, low_sq: float, high_sq: float) -> jax.Array:
+    interpret = jax.default_backend() != "tpu"
+    hp, wp = gp.shape
+    h, w = hp - 2, wp - 2
+    return pl.pallas_call(
+        functools.partial(
+            _full_kernel2d, low_sq=low_sq, high_sq=high_sq, max_iters=h + w
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(gp)
+
+
 def _nms_batched(gp_b: jax.Array, low_sq: float, high_sq: float):
     """(B, h+2, w+2) padded gray -> (cand, strong) (B, h, w) f32."""
     interpret = jax.default_backend() != "tpu"
@@ -160,6 +190,8 @@ def _canny_batched(gray_b: jax.Array, low: float, high: float) -> jax.Array:
     gp = jnp.pad(
         gray_b.astype(jnp.float32), ((0, 0), (1, 1), (1, 1)), mode="reflect"
     )
+    if gray_b.shape[0] == 1:
+        return _canny_single(gp[0], low * low, high * high)[None]
     cand, strong = _nms_batched(gp, low * low, high * high)
     return _run_batched(cand, strong)
 

@@ -34,30 +34,33 @@ def _shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
     h, w = x.shape
     out = pltpu.roll(x, (-dy) % h, 0) if dy else x
     out = pltpu.roll(out, (-dx) % w, 1) if dx else out
+    zero = jnp.asarray(0, out.dtype)  # keep the input dtype (int8 masks)
     if dy:
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         out = jnp.where(
-            (rows >= (h + min(-dy, 0))) | (rows < max(-dy, 0)), 0.0, out
+            (rows >= (h + min(-dy, 0))) | (rows < max(-dy, 0)), zero, out
         )
     if dx:
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         out = jnp.where(
-            (cols >= (w + min(-dx, 0))) | (cols < max(-dx, 0)), 0.0, out
+            (cols >= (w + min(-dx, 0))) | (cols < max(-dx, 0)), zero, out
         )
     return out
 
 
 def _dilate(x: jax.Array) -> jax.Array:
-    m = x
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            m = jnp.maximum(m, _shift2d(x, dy, dx))
-    return m
+    """Separable 3x3 max: vertical then horizontal (6 shifts, not 8)."""
+    m = jnp.maximum(x, jnp.maximum(_shift2d(x, -1, 0), _shift2d(x, 1, 0)))
+    return jnp.maximum(
+        m, jnp.maximum(_shift2d(m, 0, -1), _shift2d(m, 0, 1))
+    )
 
 
 def _fixpoint(cand, reach, max_iters):
+    """Grow reach through cand to fixpoint.
+
+    (Masks stay f32: Mosaic's rotate does not support sub-32-bit data, so
+    an int8 variant — 4x lane density — is not currently compilable.)"""
 
     def cond(state):
         reach, prev, it = state
