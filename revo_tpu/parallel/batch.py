@@ -31,7 +31,8 @@ class ScanVOState(NamedTuple):
     kf: Keyframe  # current keyframe (structs + embedded frame + T_w_k)
     prev: Frame  # previous frame (promotion candidate)
     prev_T_w: jax.Array  # (4, 4) previous frame's world pose
-    past: PastFrames  # histogram-voting ring buffer
+    past: PastFrames  # rolling ring: newest K frames
+    past_voting: PastFrames  # frozen voting set (see tracker.PastFrames)
     R: jax.Array  # (3, 3) init guess T_kf_curr
     t: jax.Array  # (3,)
     T_nm1_n: jax.Array  # (4, 4) frame-to-frame motion prior
@@ -75,6 +76,7 @@ def _init_state(frame0: Frame, cfg: SystemConfig) -> ScanVOState:
         prev=frame0,
         prev_T_w=eye4,
         past=past,
+        past_voting=past,
         R=jnp.eye(3),
         t=jnp.zeros(3),
         T_nm1_n=eye4,
@@ -95,7 +97,7 @@ def _vo_scan_step(
 
     if cfg.tracker.check_tracking_results:
         new_kf = tracker.assess_tracking_quality(
-            state.past, T_w_curr, frame, cfg
+            state.past_voting, T_w_curr, frame, cfg
         )
     else:
         new_kf = jnp.array(False)
@@ -119,9 +121,21 @@ def _vo_scan_step(
     T_kf_n = lie.matrix_from_rt(res.R, res.t)
     T_w_curr = kf.T_w_k @ T_kf_n
 
+    # On promotion the voting set freezes to the rolling ring's pre-current
+    # contents (reference clearUpPastLists semantics, tracker.cpp:248-257);
+    # before the first promotion it accumulates the first K frames.
+    voting = jax.tree.map(
+        lambda a, b: jnp.where(promote, a, b), state.past, state.past_voting
+    )
     lvl = cfg.tracker.histogram_level
     cl = frame.levels[lvl].cloud
     past = tracker.push_past(state.past, cl.points, cl.valid, T_w_curr)
+    voting_pushed = tracker.push_past(voting, cl.points, cl.valid, T_w_curr)
+    k_slots = voting.points.shape[0]
+    fill_voting = (~promote) & (voting.n < k_slots)
+    voting = jax.tree.map(
+        lambda a, b: jnp.where(fill_voting, a, b), voting_pushed, voting
+    )
 
     # Motion prior (system.cpp:267-271).
     T_nm1_n = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
@@ -132,6 +146,7 @@ def _vo_scan_step(
         prev=frame,
         prev_T_w=T_w_curr,
         past=past,
+        past_voting=voting,
         R=T_init[:3, :3] if cfg.init_from_last_pose else jnp.eye(3),
         t=T_init[:3, 3] if cfg.init_from_last_pose else jnp.zeros(3),
         T_nm1_n=T_nm1_n,

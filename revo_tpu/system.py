@@ -90,10 +90,13 @@ class VOSystem:
         self.pose_graph: List[PoseNode] = []
         self.kf: Optional[Keyframe] = None
         self.prev_frame: Optional[Frame] = None
-        self.past = tracker.empty_past(
+        self.past = tracker.empty_past(  # rolling: newest K frames
             cfg.tracker.n_frames_histogram_voting,
             cfg.pyramid.edge_capacity[cfg.tracker.histogram_level],
         )
+        # Frozen voting set: the K frames preceding the last promotion
+        # (reference semantics — see PastFrames docstring).
+        self.past_voting = self.past
         self.R = jnp.eye(3)
         self.t = jnp.zeros(3)
         self.T_nm1_n = np.eye(4, dtype=np.float32)
@@ -113,6 +116,13 @@ class VOSystem:
         self.past = tracker.push_past(
             self.past, cloud.points, cloud.valid, jnp.asarray(T_w_curr)
         )
+        # Before the first promotion the voting set accumulates the first K
+        # frames (the untrimmed deque's front in the reference).
+        if int(self.past_voting.n) < self.past_voting.points.shape[0]:
+            self.past_voting = tracker.push_past(
+                self.past_voting, cloud.points, cloud.valid,
+                jnp.asarray(T_w_curr),
+            )
 
     def _make_keyframe(self, frame: Frame, T_w_k: np.ndarray) -> None:
         t0 = time.perf_counter()
@@ -212,7 +222,7 @@ class VOSystem:
         if cfg.tracker.check_tracking_results:
             new_kf = bool(
                 tracker.assess_tracking_quality(
-                    self.past, jnp.asarray(T_w_curr), frame, cfg
+                    self.past_voting, jnp.asarray(T_w_curr), frame, cfg
                 )
             )
         else:
@@ -224,7 +234,10 @@ class VOSystem:
             last = self.pose_graph[-1]
             last.promote_to_keyframe()
             self._make_keyframe(self.prev_frame, last.T_w_kf)
-            # clearUpPastLists: the ring buffer is already bounded to K.
+            # clearUpPastLists (tracker.cpp:248-257): the trimmed deque's
+            # front becomes the new voting set = newest K pre-promotion
+            # frames, frozen until the next promotion.
+            self.past_voting = self.past
             R0 = jnp.asarray(self.T_nm1_n[:3, :3])
             t0 = jnp.asarray(self.T_nm1_n[:3, 3])
             res = tracker.track_frames(self.kf, frame, R0, t0, cfg)
@@ -233,7 +246,7 @@ class VOSystem:
             T_w_curr = T_w_kf @ T_kf_n
             if cfg.tracker.check_tracking_results:
                 tracker.assess_tracking_quality(
-                    self.past, jnp.asarray(T_w_curr), frame, cfg
+                    self.past_voting, jnp.asarray(T_w_curr), frame, cfg
                 )  # result intentionally unused, as in system.cpp:230
             self.just_added_kf = True
         else:

@@ -79,8 +79,17 @@ def track_frames(
 
 
 class PastFrames(NamedTuple):
-    """Ring buffer of the last K frames' histogram-level edge clouds + world
-    poses (TrackerNew::mPastPcl/mPastWorldPoses, tracker.h:92-94).
+    """Ring buffer of K frames' histogram-level edge clouds + world poses
+    (TrackerNew::mPastPcl/mPastWorldPoses, tracker.h:92-94).
+
+    Two instances exist in the system: a ROLLING ring of the newest K
+    frames, and the FROZEN voting set.  The reference's deque is trimmed
+    only at keyframe promotion (clearUpPastLists, tracker.cpp:248-257) and
+    voting always reads .at(0..2) (tracker.cpp:138), so the effective
+    voting set is the K frames immediately preceding the LAST PROMOTION
+    (or the first K frames before any promotion) — overlap is measured
+    against keyframe-era geometry, not the always-overlapping newest
+    frames.  On promotion the system copies rolling -> frozen.
 
     Slot 0 is the oldest.  ``n`` counts valid slots (<= K).
     """

@@ -45,15 +45,31 @@ class TestVOSequence:
         assert rpe.trans_rmse < 0.01, f"RPE {rpe.trans_rmse * 1000:.2f} mm"
 
     def test_keyframe_promotion_happens(self):
-        """A long-enough walk must trigger histogram-voting keyframe
-        promotion (IROS17) and keep tracking through it."""
+        """A fast lateral pan (4 cm + ~1 deg/frame) must trigger histogram
+        -voting keyframe promotion (IROS17) and keep tracking through it.
+        (Slow handheld-scale walks legitimately never promote — overlap
+        with the keyframe-era voting set stays high.)"""
+        import jax.numpy as jnp
+
+        from revo_tpu import lie
+        from revo_tpu.io.synthetic import render_frame
+
         cfg = small_cfg()
         scene = SyntheticScene()
-        poses, gt, report, vo = run_vo(
-            cfg, 40, seed=3, scene=scene
-        )
-        assert report.keyframes >= 1
-        ate = absolute_trajectory_error(poses, gt)
+        vo = VOSystem(cfg)
+        T = np.eye(4, dtype=np.float32)
+        gts = []
+        for i in range(25):
+            g, d = render_frame(scene, cfg.camera, T)
+            vo.process_frame(g, d, i / 30.0)
+            gts.append(T.copy())
+            dR, dt = lie.exp_se3(
+                jnp.asarray([0.04, 0.0, 0.005, 0.0, 0.017, 0.0])
+            )
+            T = T @ np.asarray(lie.matrix_from_rt(dR, dt))
+        assert vo.n_keyframes >= 2, f"no promotion ({vo.n_keyframes} kfs)"
+        poses = np.stack([n.T_w_curr for n in vo.pose_graph])
+        ate = absolute_trajectory_error(poses, np.stack(gts))
         assert ate.rmse < 0.03, f"ATE {ate.rmse * 100:.2f} cm"
 
     def test_pose_graph_consistency(self):
