@@ -17,12 +17,21 @@ import sys
 import numpy as np
 
 
-def _run_dataset(cfg, dataset: str, out_dir: str) -> None:
+def _run_dataset(cfg, dataset: str, out_dir: str, gt_file=None) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
     from revo_tpu.system import VOSystem
 
     ds_dir = os.path.join(cfg.dataset.main_folder, dataset)
+    if not os.path.exists(
+        os.path.join(ds_dir, cfg.dataset.associate_file)
+    ) and os.path.exists(os.path.join(ds_dir, "rgb.txt")):
+        # Raw TUM download: generate associations in-repo (the reference
+        # requires the external associate.py first, README.md:43-57).
+        from revo_tpu.io.associate import write_associations
+
+        n = write_associations(ds_dir, out_file=cfg.dataset.associate_file)
+        print(f"[revo_tpu] generated {cfg.dataset.associate_file}: {n} pairs")
     assocs = load_associations(
         ds_dir,
         cfg.dataset.associate_file,
@@ -49,8 +58,53 @@ def _run_dataset(cfg, dataset: str, out_dir: str) -> None:
 
     vo = VOSystem(cfg)
     pose_file = os.path.join(out_dir, f"poses_{dataset}.txt")
-    _, _, report = vo.run(frames(), pose_file=pose_file)
+    poses, stamps, report = vo.run(frames(), pose_file=pose_file)
     _print_report(report, pose_file)
+    if gt_file:
+        _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir)
+
+
+def _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir) -> None:
+    """In-repo ATE/RPE against a TUM groundtruth.txt (the reference
+    delegates this to the external rgbd_benchmark_tools, README.md:57)."""
+    import numpy as np
+
+    from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
+    from revo_tpu.io.associate import associate
+    from revo_tpu.io.tum import read_tum_trajectory
+
+    gt_path = gt_file if os.path.isabs(gt_file) else os.path.join(
+        ds_dir, gt_file
+    )
+    gt_ts, gt_poses = read_tum_trajectory(gt_path)
+    pairs = associate(
+        {t: i for i, t in enumerate(stamps)},
+        {t: i for i, t in enumerate(gt_ts)},
+    )
+    if len(pairs) < 2:
+        print("[revo_tpu] too few gt associations; skipping evaluation")
+        return
+    est_idx = [dict(zip(stamps, range(len(stamps))))[a] for a, _ in pairs]
+    gt_idx = [dict(zip(gt_ts, range(len(gt_ts))))[b] for _, b in pairs]
+    est = poses[est_idx]
+    gt = gt_poses[gt_idx]
+    ate = absolute_trajectory_error(est, gt)
+    rpe = relative_pose_error(est, gt)
+    print(
+        f"ATE-RMSE vs GT: {ate.rmse * 100:.2f} cm "
+        f"(mean {ate.mean * 100:.2f}, max {ate.max * 100:.2f}) "
+        f"over {len(pairs)} frames"
+    )
+    print(f"RPE vs GT: {rpe.trans_rmse * 1000:.2f} mm / "
+          f"{rpe.rot_rmse_deg:.4f} deg per frame")
+    try:
+        from revo_tpu.viz import plot_error, plot_trajectory
+
+        plot_trajectory(os.path.join(out_dir, "trajectory_vs_gt.png"),
+                        est, gt)
+        plot_error(os.path.join(out_dir, "ate_error_vs_gt.png"), est, gt)
+    except ImportError:
+        pass
 
 
 def _print_report(report, pose_file) -> None:
@@ -120,6 +174,11 @@ def main(argv=None) -> int:
                         help="run on an N-frame synthetic sequence")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="out", help="output directory")
+    parser.add_argument(
+        "--gt", default=None, metavar="FILE",
+        help="groundtruth trajectory (TUM format, relative to the dataset "
+             "dir) for in-repo ATE/RPE evaluation",
+    )
     args = parser.parse_args(argv)
 
     from revo_tpu.config import load_config
@@ -136,7 +195,7 @@ def main(argv=None) -> int:
         print("[revo_tpu] no datasets listed in config", file=sys.stderr)
         return 1
     for ds in cfg.dataset.datasets:
-        _run_dataset(cfg, ds, args.out)
+        _run_dataset(cfg, ds, args.out, gt_file=args.gt)
     return 0
 
 
