@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional
 
 import numpy as np
 
@@ -29,10 +28,14 @@ class VOCheckpoint:
     # Tracker state.
     kf_structs: list  # per level (H, W, 3)
     kf_T_w: np.ndarray  # (4, 4)
-    past_points: np.ndarray  # (K, P, 3)
+    past_points: np.ndarray  # (K, P, 3) rolling ring
     past_valid: np.ndarray  # (K, P)
     past_poses: np.ndarray  # (K, 4, 4)
     past_n: int
+    voting_points: np.ndarray  # (K, P, 3) frozen voting set
+    voting_valid: np.ndarray  # (K, P)
+    voting_poses: np.ndarray  # (K, 4, 4)
+    voting_n: int
     R: np.ndarray  # (3, 3) current init guess
     t: np.ndarray  # (3,)
     T_nm1_n: np.ndarray  # (4, 4)
@@ -63,6 +66,10 @@ def capture(vo) -> VOCheckpoint:
         past_valid=np.asarray(vo.past.valid),
         past_poses=np.asarray(vo.past.poses),
         past_n=int(vo.past.n),
+        voting_points=np.asarray(vo.past_voting.points),
+        voting_valid=np.asarray(vo.past_voting.valid),
+        voting_poses=np.asarray(vo.past_voting.poses),
+        voting_n=int(vo.past_voting.n),
         R=np.asarray(vo.R),
         t=np.asarray(vo.t),
         T_nm1_n=np.asarray(vo.T_nm1_n),
@@ -84,12 +91,16 @@ def save(path: str, ckpt: VOCheckpoint) -> None:
         "past_points": ckpt.past_points,
         "past_valid": ckpt.past_valid,
         "past_poses": ckpt.past_poses,
+        "voting_points": ckpt.voting_points,
+        "voting_valid": ckpt.voting_valid,
+        "voting_poses": ckpt.voting_poses,
         "R": ckpt.R,
         "t": ckpt.t,
         "T_nm1_n": ckpt.T_nm1_n,
         "scalars": np.array(
             [
                 ckpt.past_n,
+                ckpt.voting_n,
                 int(ckpt.just_added_kf),
                 ckpt.n_frames,
                 ckpt.n_keyframes,
@@ -104,7 +115,8 @@ def save(path: str, ckpt: VOCheckpoint) -> None:
 
 def load(path: str) -> VOCheckpoint:
     z = np.load(path)
-    past_n, just_added, n_frames, n_keyframes, n_structs = z["scalars"]
+    (past_n, voting_n, just_added, n_frames, n_keyframes,
+     n_structs) = z["scalars"]
     return VOCheckpoint(
         T_kf_curr=z["T_kf_curr"],
         T_w_kf=z["T_w_kf"],
@@ -116,6 +128,10 @@ def load(path: str) -> VOCheckpoint:
         past_valid=z["past_valid"],
         past_poses=z["past_poses"],
         past_n=int(past_n),
+        voting_points=z["voting_points"],
+        voting_valid=z["voting_valid"],
+        voting_poses=z["voting_poses"],
+        voting_n=int(voting_n),
         R=z["R"],
         t=z["t"],
         T_nm1_n=z["T_nm1_n"],
@@ -158,6 +174,12 @@ def restore(vo, ckpt: VOCheckpoint, frame_for_kf=None) -> None:
         valid=jnp.asarray(ckpt.past_valid),
         poses=jnp.asarray(ckpt.past_poses),
         n=jnp.int32(ckpt.past_n),
+    )
+    vo.past_voting = PastFrames(
+        points=jnp.asarray(ckpt.voting_points),
+        valid=jnp.asarray(ckpt.voting_valid),
+        poses=jnp.asarray(ckpt.voting_poses),
+        n=jnp.int32(ckpt.voting_n),
     )
     vo.R = jnp.asarray(ckpt.R)
     vo.t = jnp.asarray(ckpt.t)

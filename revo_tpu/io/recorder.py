@@ -8,8 +8,6 @@ reference itself) can replay.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 

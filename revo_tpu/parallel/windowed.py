@@ -25,14 +25,13 @@ the (W, W, 6, 6) Hessian is reduced with psum — collectives ride ICI.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from revo_tpu import lie
 from revo_tpu.config import CameraConfig, OptimizerConfig
-from revo_tpu.ops.backproject import EdgeCloud
 from revo_tpu.ops.interp import bilinear_sample
 
 _PREC = jax.lax.Precision.HIGHEST

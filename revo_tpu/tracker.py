@@ -15,7 +15,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from revo_tpu import lie, solver
+from revo_tpu import solver
 from revo_tpu.config import SystemConfig
 from revo_tpu.frontend import Frame, Keyframe
 
