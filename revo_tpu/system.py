@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 import time
 from typing import List, Optional
 
@@ -73,6 +74,27 @@ class VOReport:
     tracking_lost: int = 0
     mean_dt_time_ms: float = 0.0
     mean_tracking_time_ms: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "check_results"))
+def _frame_step(
+    gray, depth, undistort_maps, kf, past_voting, R0, t0, cfg, check_results
+):
+    """One fused device call per frame: pyramid build + coarse-to-fine track
+    + histogram voting.  The host loop pays one dispatch + one sync per
+    frame instead of four (each call through a remote TPU link costs a full
+    round trip)."""
+    frame = build_frame(gray, depth, cfg, undistort_maps)
+    res = tracker.track_frames(kf, frame, R0, t0, cfg)
+    T_kf_n = lie.matrix_from_rt(res.R, res.t)
+    T_w_curr = kf.T_w_k @ T_kf_n
+    if check_results:
+        new_kf = tracker.assess_tracking_quality(
+            past_voting, T_w_curr, frame, cfg
+        )
+    else:
+        new_kf = jnp.array(False)
+    return frame, res, T_kf_n, T_w_curr, new_kf
 
 
 class VOSystem:
@@ -135,6 +157,13 @@ class VOSystem:
             self.kf_history.pop(0)
 
     def _is_lost(self, res) -> bool:
+        """Residual-based failure detector.
+
+        Limitation (shared with any residual-only test, and the reference
+        has no detector at all): a wrong-basin convergence on repetitive
+        structure can yield a low DT residual and go undetected — loss is
+        only declared when the residual or inlier count degrades.
+        """
         trk = self.cfg.tracker
         return bool(
             float(res.error) > trk.reloc_error_threshold
@@ -166,11 +195,12 @@ class VOSystem:
     ) -> np.ndarray:
         """Process one frame; returns its estimated world pose (4, 4)."""
         cfg = self.cfg
-        frame = build_frame(
-            jnp.asarray(gray), jnp.asarray(depth), cfg, self.undistort_maps
-        )
 
         if self.n_frames == 0:
+            frame = build_frame(
+                jnp.asarray(gray), jnp.asarray(depth), cfg,
+                self.undistort_maps,
+            )
             self._make_keyframe(frame, np.eye(4, dtype=np.float32))
             node = PoseNode(
                 T_kf_curr=np.eye(4, dtype=np.float32),
@@ -186,13 +216,31 @@ class VOSystem:
             return node.T_w_curr
 
         t_start = time.perf_counter()
-        res = tracker.track_frames(self.kf, frame, self.R, self.t, cfg)
+        # One fused device call: build + track + vote (minimizes host<->
+        # device round trips; the reference's work split across its IO and
+        # tracking threads happens in one XLA program here).
+        frame, res, T_kf_n_dev, T_w_curr_dev, new_kf_dev = _frame_step(
+            jnp.asarray(gray),
+            jnp.asarray(depth),
+            self.undistort_maps,
+            self.kf,
+            self.past_voting,
+            self.R,
+            self.t,
+            cfg,
+            cfg.tracker.check_tracking_results,
+        )
 
         if cfg.tracker.enable_relocalization and self._is_lost(res):
             kf_r, res_r = self._relocalize(frame)
             if kf_r is not None:
                 self.kf = kf_r
                 res = res_r
+                # Recompute poses against the relocalization anchor; skip
+                # voting this frame (it was computed against the lost pose).
+                T_kf_n_dev = lie.matrix_from_rt(res.R, res.t)
+                T_w_curr_dev = self.kf.T_w_k @ T_kf_n_dev
+                new_kf_dev = jnp.array(False)
             else:
                 # Still lost: constant-velocity propagation, no graph decay.
                 self.n_tracking_lost += 1
@@ -213,20 +261,13 @@ class VOSystem:
                 self.just_added_kf = False
                 return node.T_w_curr
 
-        T_kf_n = np.asarray(lie.matrix_from_rt(res.R, res.t))
+        T_kf_n = np.asarray(T_kf_n_dev)
         T_w_kf = np.asarray(self.kf.T_w_k)
-        T_w_curr = T_w_kf @ T_kf_n
+        T_w_curr = np.asarray(T_w_curr_dev)
 
         # Histogram-voting quality check overwrites the tracker status
-        # (system.cpp:199).
-        if cfg.tracker.check_tracking_results:
-            new_kf = bool(
-                tracker.assess_tracking_quality(
-                    self.past_voting, jnp.asarray(T_w_curr), frame, cfg
-                )
-            )
-        else:
-            new_kf = False
+        # (system.cpp:199); computed inside _frame_step.
+        new_kf = bool(new_kf_dev)
 
         if new_kf and not self.just_added_kf:
             # Promote the previous frame to keyframe and re-track
