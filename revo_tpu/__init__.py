@@ -22,6 +22,30 @@ from revo_tpu.config import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import revo_tpu` light; the heavy modules
+    pull in jax compilation machinery)."""
+    lazy = {
+        "VOSystem": ("revo_tpu.system", "VOSystem"),
+        "build_frame": ("revo_tpu.frontend", "build_frame"),
+        "make_keyframe": ("revo_tpu.frontend", "make_keyframe"),
+        "track_frames": ("revo_tpu.tracker", "track_frames"),
+        "vo_scan": ("revo_tpu.parallel.batch", "vo_scan"),
+        "vo_scan_batched": ("revo_tpu.parallel.batch", "vo_scan_batched"),
+        "absolute_trajectory_error": (
+            "revo_tpu.eval", "absolute_trajectory_error"
+        ),
+        "relative_pose_error": ("revo_tpu.eval", "relative_pose_error"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'revo_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "lie",
     "CameraConfig",
@@ -31,5 +55,13 @@ __all__ = [
     "SystemConfig",
     "TrackerConfig",
     "load_config",
+    "VOSystem",
+    "build_frame",
+    "make_keyframe",
+    "track_frames",
+    "vo_scan",
+    "vo_scan_batched",
+    "absolute_trajectory_error",
+    "relative_pose_error",
     "__version__",
 ]
