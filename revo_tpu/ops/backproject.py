@@ -47,7 +47,18 @@ def backproject_edges(
     )
     count = valid_px.sum().astype(jnp.int32)
 
-    (idx,) = jnp.nonzero(valid_px.ravel(), size=capacity, fill_value=0)
+    # Stream compaction as one exclusive scan + one scatter (ascending
+    # order, first-`capacity` truncation and 0-fill exactly like
+    # jnp.nonzero(size=capacity, fill_value=0), but without its second
+    # cumsum + bincount round trip).
+    flat = valid_px.ravel()
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < capacity), pos, capacity)
+    idx = (
+        jnp.zeros(capacity + 1, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+    )[:capacity]
     n = jnp.minimum(count, capacity)
     lane_valid = jnp.arange(capacity, dtype=jnp.int32) < n
 

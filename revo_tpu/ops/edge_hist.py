@@ -12,8 +12,20 @@ empty; we keep exact counts.
 """
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def _block_indicator(n: int, block: int, nb: int) -> np.ndarray:
+    """(nb, n) 0/1 matrix: row k selects elements k*block..k*block+block-1."""
+    m = np.zeros((nb, n), np.float32)
+    for k in range(nb):
+        m[k, k * block : (k + 1) * block] = 1.0
+    return m
 
 
 def patch_histogram(edges: jax.Array, patch_size: int):
@@ -23,13 +35,26 @@ def patch_histogram(edges: jax.Array, patch_size: int):
     fraction of patches with >= 1 edge pixel (generateDistHistogram's
     nDist/total, imgpyramidrgbd.cpp:159-167).  Image dims are truncated to
     whole patches like the integer division in the reference.
+
+    Block pooling is expressed as two small matmuls with static 0/1
+    indicator matrices (counts = Ih @ E @ Iw^T): the reshape-to-4D reduce
+    regroups 20-px blocks across both sublanes and lanes, which costs more
+    in relayouts on TPU than the MXU does for the (Hp,H)x(H,W)x(W,Wp)
+    contraction.  Counts are < 2^24, so the f32 matmul is exact.
     """
     h, w = edges.shape
     hp, wp = h // patch_size, w // patch_size
-    e = (edges[: hp * patch_size, : wp * patch_size] > 0).astype(jnp.int32)
-    counts = e.reshape(hp, patch_size, wp, patch_size).sum(axis=(1, 3))
+    ih = jnp.asarray(_block_indicator(h, patch_size, hp))
+    iw = jnp.asarray(_block_indicator(w, patch_size, wp))
+    e = (edges > 0).astype(jnp.float32)
+    counts_f = _PREC_DOT(ih, _PREC_DOT(e, iw.T))
+    counts = counts_f.astype(jnp.int32)
     occupancy = (counts > 0).mean(dtype=jnp.float32)
     return counts, occupancy
+
+
+def _PREC_DOT(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def fill_in_edges(
@@ -52,6 +77,28 @@ def fill_in_edges(
 
     # Parent pixels at odd coords map to child pixel (yy//2, xx//2); the
     # child pixel (y, x) receives parent pixel (2y+1, 2x+1).
+    if parent_patch_size % 2 == 0:
+        # Strided formulation (no gathers): par is just the odd-coordinate
+        # strided slice of the parent, and because (2y+1)//(2m) == y//m the
+        # patch lookup is a plain m-fold upsample of the count grid (with
+        # edge replication standing in for the reference's index clamp).
+        half = parent_patch_size // 2
+        par = parent_edges[1::2, 1::2]
+        par = jnp.pad(
+            par, ((0, h - par.shape[0]), (0, w - par.shape[1]))
+        )  # zero pad == the in_par out-of-range mask
+        sparse_small = counts < thresh
+        sp = jnp.repeat(
+            jnp.repeat(sparse_small, half, axis=0), half, axis=1
+        )
+        sp = sp[: min(h, sp.shape[0]), : min(w, sp.shape[1])]
+        sp = jnp.pad(
+            sp,
+            ((0, h - sp.shape[0]), (0, w - sp.shape[1])),
+            mode="edge",
+        )
+        return edges | (sp & (par > 0))
+
     yy = 2 * jnp.arange(h) + 1
     xx = 2 * jnp.arange(w) + 1
     in_par = (yy[:, None] < ph) & (xx[None, :] < pw)

@@ -44,3 +44,40 @@ def bilinear_sample(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
         + (dxe - dxdy) * i01
         + (1.0 - dxe - dye + dxdy) * i00
     )
+
+
+def bilinear_sample_window(
+    img: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """Same math as bilinear_sample via ONE lax.gather of (2, 2, C) windows.
+
+    Each point fetches its whole 2x2xC neighborhood in a single gather
+    slice instead of four row gathers — fewer hardware gather operations
+    for the same bytes.
+    """
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    starts = jnp.stack([iy, ix], axis=-1)  # (N, 2)
+    win = jax.lax.gather(
+        img,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(2, 2, img.shape[2]),
+        mode="clip",
+    )  # (N, 2, 2, C)
+    dxdy = dx * dy
+    return (
+        dxdy * win[:, 1, 1]
+        + (dy - dxdy) * win[:, 1, 0]
+        + (dx - dxdy) * win[:, 0, 1]
+        + (1.0 - dx - dy + dxdy) * win[:, 0, 0]
+    )

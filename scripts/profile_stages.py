@@ -11,9 +11,13 @@ Prints one line per stage: cumulative ms and delta vs previous stage.
 from __future__ import annotations
 
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _time_fn(fn, *args, n=24):
