@@ -62,9 +62,13 @@ def backproject_edges(
     n = jnp.minimum(count, capacity)
     lane_valid = jnp.arange(capacity, dtype=jnp.int32) < n
 
-    yy = (idx // w).astype(jnp.float32)
-    xx = (idx % w).astype(jnp.float32)
-    z = depth.ravel()[idx]
+    yi = idx // w
+    xi = idx % w
+    yy = yi.astype(jnp.float32)
+    xx = xi.astype(jnp.float32)
+    from revo_tpu.ops.interp import gather2d
+
+    z = gather2d(depth, yi, xi)
     x3 = z * (xx - cx) / fx
     y3 = z * (yy - cy) / fy
     pts = jnp.stack([x3, y3, z], axis=-1)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from revo_tpu import lie
 from revo_tpu.config import CameraConfig, OptimizerConfig
 from revo_tpu.ops.backproject import EdgeCloud
-from revo_tpu.ops.interp import bilinear_sample
+from revo_tpu.ops.interp import bilinear_sample, gather2d
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -418,7 +418,7 @@ def eval_cost(
     inb = inb & cloud.valid
     ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cam.width - 1)
     vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, cam.height - 1)
-    res = dt_img[vi, ui]
+    res = gather2d(dt_img, vi, ui)
     if use_edge_filter:
         ok = inb & (res <= edge_distance)
     else:

@@ -169,6 +169,43 @@ class TestBilinear:
             )
             np.testing.assert_allclose(got[k], want, rtol=2e-5, atol=2e-5)
 
+    def test_window_gather_variant_matches(self):
+        """bilinear_sample_window (the TPU fast path used by the solver)
+        must agree with the 4-take formulation everywhere, including at
+        clamped border coordinates."""
+        from revo_tpu.ops.interp import bilinear_sample, bilinear_sample_window
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(24, 33, 3)).astype(np.float32)
+        u = np.concatenate(
+            [rng.uniform(-2, 35, size=200), [0.0, 31.0, 32.9, 1.5]]
+        ).astype(np.float32)
+        v = np.concatenate(
+            [rng.uniform(-2, 26, size=200), [0.0, 22.0, 23.9, 1.5]]
+        ).astype(np.float32)
+        a = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v)))
+        b = np.asarray(
+            bilinear_sample_window(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+    def test_gather2d_matches_indexing(self):
+        from revo_tpu.ops.interp import gather2d
+
+        rng = np.random.default_rng(4)
+        img2 = rng.normal(size=(17, 23)).astype(np.float32)
+        img3 = rng.normal(size=(17, 23, 3)).astype(np.float32)
+        iy = rng.integers(0, 17, size=64)
+        ix = rng.integers(0, 23, size=64)
+        np.testing.assert_array_equal(
+            np.asarray(gather2d(jnp.asarray(img2), jnp.asarray(iy), jnp.asarray(ix))),
+            img2[iy, ix],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gather2d(jnp.asarray(img3), jnp.asarray(iy), jnp.asarray(ix))),
+            img3[iy, ix],
+        )
+
     def test_integer_coords_exact(self):
         img = np.arange(12.0, dtype=np.float32).reshape(3, 4, 1)
         got = np.asarray(
