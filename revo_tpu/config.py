@@ -69,7 +69,7 @@ class PyramidConfig:
     dist_patch_sizes: Tuple[int, ...] = (20, 10, 5)
     # Fixed capacity of the per-level edge point cloud (TPU static shapes;
     # replaces the dynamic leftCols() of imgpyramidrgbd.cpp:226).
-    edge_capacity: Tuple[int, ...] = (24576, 8192, 4096)
+    edge_capacity: Tuple[int, ...] = (16384, 8192, 4096)
     # On TPU, run Canny as the fused Pallas kernel (3x faster than the XLA
     # composition and closer to OpenCV under the platform's forced
     # --xla_allow_excess_precision: 30 vs 569 differing pixels at 640x480).
@@ -105,6 +105,17 @@ class OptimizerConfig:
     # Accumulate the 6x6 normal equations with the Pallas LGSX reduction
     # kernel (ops/pallas/lgsx.py) instead of XLA einsums.
     use_pallas_lgsx: bool = False
+    # Bilinear-sampling gather formulation for the residual pass.  XLA's
+    # TPU gather emitter choice is context-dependent (the windowed form is
+    # 60x faster in isolation but ~30x slower inside the tracker step), so
+    # the implementation is a measured knob: "take4" (flattened row takes,
+    # the proven default), "taps" (four (1,1,C)-slice gathers), "window"
+    # (one (2,2,C)-slice gather).
+    bilinear_impl: str = "take4"
+    # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
+    # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
+    # while loop on TPU), "linalg" = jnp.linalg.solve.
+    solve6_impl: str = "ldlt"
 
 
 @dataclass(frozen=True)

@@ -47,20 +47,32 @@ def backproject_edges(
     )
     count = valid_px.sum().astype(jnp.int32)
 
-    # Stream compaction as one exclusive scan + one scatter (ascending
-    # order, first-`capacity` truncation and 0-fill exactly like
-    # jnp.nonzero(size=capacity, fill_value=0), but without its second
-    # cumsum + bincount round trip).
+    # Stream compaction as one exclusive scan + one scatter.  When the
+    # cloud fits, slots are the exact ascending compaction (matching the
+    # reference's dynamic leftCols order, imgpyramidrgbd.cpp:226).  On
+    # overflow the reference keeps everything (dynamic size); with a fixed
+    # capacity something must be dropped, and a uniform stride decimation
+    # (slot = floor(pos * capacity / count)) keeps full-image spatial
+    # coverage instead of truncating away the bottom of the frame.  The
+    # scatter writes flat_index+1 with max-combine so unwritten slots read
+    # 0 == invalid — one scatter yields both indices and lane validity.
     flat = valid_px.ravel()
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat & (pos < capacity), pos, capacity)
-    idx = (
+    over = count > capacity
+    scale = capacity / jnp.maximum(count, capacity).astype(jnp.float32)
+    slot = jnp.where(
+        over,
+        jnp.floor(pos.astype(jnp.float32) * scale).astype(jnp.int32),
+        pos,
+    )
+    tgt = jnp.where(flat & (slot < capacity), slot, capacity)
+    idxp = (
         jnp.zeros(capacity + 1, jnp.int32)
         .at[tgt]
-        .set(jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+        .max(jnp.arange(1, flat.shape[0] + 1, dtype=jnp.int32), mode="drop")
     )[:capacity]
-    n = jnp.minimum(count, capacity)
-    lane_valid = jnp.arange(capacity, dtype=jnp.int32) < n
+    lane_valid = idxp > 0
+    idx = jnp.maximum(idxp - 1, 0)
 
     yi = idx // w
     xi = idx % w

@@ -57,6 +57,29 @@ def _PREC_DOT(a, b):
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+@functools.lru_cache(maxsize=64)
+def _odd_selector(n_child: int, n_parent: int) -> np.ndarray:
+    """(n_child, n_parent) 0/1 matrix: row y selects parent index 2y+1 when
+    in range (zero row otherwise — the fillInEdges in_par mask)."""
+    m = np.zeros((n_child, n_parent), np.float32)
+    for y in range(n_child):
+        j = 2 * y + 1
+        if j < n_parent:
+            m[y, j] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=64)
+def _count_upsample(n_child: int, parent_patch: int, n_counts: int) -> np.ndarray:
+    """(n_child, n_counts) 0/1 matrix: row y selects count bin
+    min((2y+1) // parent_patch, n_counts - 1) — the exact (clamped) patch
+    lookup of imgpyramidrgbd.cpp:133."""
+    m = np.zeros((n_child, n_counts), np.float32)
+    for y in range(n_child):
+        m[y, min((2 * y + 1) // parent_patch, n_counts - 1)] = 1.0
+    return m
+
+
 def fill_in_edges(
     edges: jax.Array,
     parent_edges: jax.Array,
@@ -75,40 +98,23 @@ def fill_in_edges(
     ph, pw = parent_edges.shape
     thresh = patch_size * patch_size * 0.05
 
-    # Parent pixels at odd coords map to child pixel (yy//2, xx//2); the
-    # child pixel (y, x) receives parent pixel (2y+1, 2x+1).
-    if parent_patch_size % 2 == 0:
-        # Strided formulation (no gathers): par is just the odd-coordinate
-        # strided slice of the parent, and because (2y+1)//(2m) == y//m the
-        # patch lookup is a plain m-fold upsample of the count grid (with
-        # edge replication standing in for the reference's index clamp).
-        half = parent_patch_size // 2
-        par = parent_edges[1::2, 1::2]
-        par = jnp.pad(
-            par, ((0, h - par.shape[0]), (0, w - par.shape[1]))
-        )  # zero pad == the in_par out-of-range mask
-        sparse_small = counts < thresh
-        sp = jnp.repeat(
-            jnp.repeat(sparse_small, half, axis=0), half, axis=1
-        )
-        sp = sp[: min(h, sp.shape[0]), : min(w, sp.shape[1])]
-        sp = jnp.pad(
-            sp,
-            ((0, h - sp.shape[0]), (0, w - sp.shape[1])),
-            mode="edge",
-        )
-        return edges | (sp & (par > 0))
+    # Child pixel (y, x) receives parent pixel (2y+1, 2x+1) when in range,
+    # gated by the patch count at parent coords // parent_patch_size with
+    # the reference's index clamp (imgpyramidrgbd.cpp:130-140).  Both the
+    # odd-coordinate selection and the count-grid upsample are expressed as
+    # static 0/1 selector matmuls (MXU) — strided slices / index gathers of
+    # this shape lower to ~0.8 ms scalarized gathers at 640x480.
+    so_h = jnp.asarray(_odd_selector(h, ph))
+    so_w = jnp.asarray(_odd_selector(w, pw))
+    par = (
+        _PREC_DOT(_PREC_DOT(so_h, parent_edges.astype(jnp.float32)), so_w.T)
+        > 0.5
+    )  # zero rows of the selector encode the in_par out-of-range mask
 
-    yy = 2 * jnp.arange(h) + 1
-    xx = 2 * jnp.arange(w) + 1
-    in_par = (yy[:, None] < ph) & (xx[None, :] < pw)
-    par = parent_edges[jnp.minimum(yy, ph - 1)[:, None],
-                       jnp.minimum(xx, pw - 1)[None, :]]
+    hc, wc = counts.shape
+    up_h = jnp.asarray(_count_upsample(h, parent_patch_size, hc))
+    up_w = jnp.asarray(_count_upsample(w, parent_patch_size, wc))
+    sparse_small = (counts < thresh).astype(jnp.float32)
+    sparse = _PREC_DOT(_PREC_DOT(up_h, sparse_small), up_w.T) > 0.5
 
-    # Patch lookup uses parent coords / parent patch size
-    # (imgpyramidrgbd.cpp:133); guard against patch-grid overflow.
-    py = jnp.minimum(yy // parent_patch_size, counts.shape[0] - 1)
-    px = jnp.minimum(xx // parent_patch_size, counts.shape[1] - 1)
-    sparse = counts[py[:, None], px[None, :]] < thresh
-
-    return edges | (in_par & sparse & (par > 0))
+    return edges | (sparse & par)

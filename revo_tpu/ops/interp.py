@@ -82,6 +82,71 @@ def gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     )
 
 
+def bilinear_sample_taps(
+    img: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """bilinear_sample via four gather2d (1, 1, C)-slice gathers.
+
+    A third gather emission for in-context A/B against the 4-take and
+    windowed forms (XLA's TPU gather emitter choice is context-dependent;
+    see the solver notes)."""
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    i00 = gather2d(img, iy, ix)
+    i01 = gather2d(img, iy, ix + 1)
+    i10 = gather2d(img, iy + 1, ix)
+    i11 = gather2d(img, iy + 1, ix + 1)
+    dxdy = dx * dy
+    return (
+        dxdy * i11
+        + (dy - dxdy) * i10
+        + (dx - dxdy) * i01
+        + (1.0 - dx - dy + dxdy) * i00
+    )
+
+
+def bilinear_sample_pair(
+    img: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """bilinear_sample via TWO (2, C)-slice gathers on the flattened image.
+
+    In row-major (H*W, C) layout the taps (iy,ix)/(iy,ix+1) are adjacent
+    rows, as are (iy+1,ix)/(iy+1,ix+1): one slice gather per row pair
+    fetches both, halving the gather count vs the 4-take form.
+    """
+    h, w = img.shape[0], img.shape[1]
+    c = img.shape[2]
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    flat = img.reshape(h * w, c)
+    base = (iy * w + ix)[:, None]  # (N, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2),
+        collapsed_slice_dims=(),
+        start_index_map=(0,),
+    )
+    top = jax.lax.gather(flat, base, dn, slice_sizes=(2, c), mode="clip")
+    bot = jax.lax.gather(flat, base + w, dn, slice_sizes=(2, c), mode="clip")
+    i00, i01 = top[:, 0], top[:, 1]
+    i10, i11 = bot[:, 0], bot[:, 1]
+    dxdy = dx * dy
+    return (
+        dxdy * i11
+        + (dy - dxdy) * i10
+        + (dx - dxdy) * i01
+        + (1.0 - dx - dy + dxdy) * i00
+    )
+
+
 def bilinear_sample_window(
     img: jax.Array, u: jax.Array, v: jax.Array
 ) -> jax.Array:

@@ -29,9 +29,72 @@ import jax.numpy as jnp
 from revo_tpu import lie
 from revo_tpu.config import CameraConfig, OptimizerConfig
 from revo_tpu.ops.backproject import EdgeCloud
-from revo_tpu.ops.interp import bilinear_sample, gather2d
+from revo_tpu.ops.interp import (
+    bilinear_sample,
+    bilinear_sample_pair,
+    bilinear_sample_taps,
+    bilinear_sample_window,
+    gather2d,
+)
+
+_BILINEAR = {
+    "take4": bilinear_sample,
+    "taps": bilinear_sample_taps,
+    "window": bilinear_sample_window,
+    "pair": bilinear_sample_pair,
+}
+
+
+def _solve_damped(Ad, g, impl: str):
+    if impl == "ldlt":
+        return solve6_ldlt(Ad, g)
+    return jnp.linalg.solve(Ad, g)
 
 _PREC = jax.lax.Precision.HIGHEST
+
+
+def solve6_ldlt(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric positive-(semi)definite 6x6 A with an
+    unrolled LDL^T factorization (no pivoting).
+
+    jnp.linalg.solve lowers the general 6x6 LU to a serial on-device while
+    loop on TPU; LM's damped normal matrix is SPD (the reference uses
+    Eigen ldlt, optimizer.cpp:263), so the pivot-free LDL^T is exact for
+    this use and compiles to straight-line scalar code.  Singular/0 pivots
+    are guarded to keep dead lanes finite; callers already zero non-finite
+    increments.
+    """
+    n = 6
+    # Factor: A = L D L^T with unit-diagonal L.
+    cols = [A[:, j] for j in range(n)]  # column views (6,)
+    L = [[None] * n for _ in range(n)]
+    d = [None] * n
+    for j in range(n):
+        s = cols[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k] * d[k]
+        dj = jnp.where(jnp.abs(s) < 1e-30, 1e-30, s)
+        d[j] = dj
+        for i in range(j + 1, n):
+            t = cols[j][i]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k] * d[k]
+            L[i][j] = t / dj
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        t = b[i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t
+    # Diagonal + back substitution L^T x = y / d.
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i] / d[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * x[k]
+        x[i] = t
+    return jnp.stack(x)
 
 
 class ResidualInfo(NamedTuple):
@@ -62,6 +125,7 @@ def _residual_sums(
     huber: float,
     use_edge_filter: bool,
     use_pallas_lgsx: bool = False,
+    bilinear_impl: str = "take4",
 ):
     """Unnormalized accumulation over (a shard of) the edge cloud.
 
@@ -81,7 +145,7 @@ def _residual_sums(
     in_bounds = (u > 1.0) & (v > 1.0) & (u < w_img - 2.0) & (v < h_img - 2.0)
     in_bounds = in_bounds & cloud.valid
 
-    samp = bilinear_sample(struct, u, v)  # (P, 3): gx, gy, dt
+    samp = _BILINEAR[bilinear_impl](struct, u, v)  # (P, 3): gx, gy, dt
     r = samp[:, 2]
     gx = cam.fx * samp[:, 0]
     gy = cam.fy * samp[:, 1]
@@ -155,6 +219,7 @@ def residual_system(
     huber: float,
     use_edge_filter: bool,
     use_pallas_lgsx: bool = False,
+    bilinear_impl: str = "take4",
 ) -> LevelSystem:
     """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
 
@@ -165,7 +230,7 @@ def residual_system(
     return _normalize_sums(
         *_residual_sums(
             struct, cloud, cam, R, t, edge_distance, huber, use_edge_filter,
-            use_pallas_lgsx,
+            use_pallas_lgsx, bilinear_impl,
         )
     )
 
@@ -245,7 +310,7 @@ def lm_level(
     def evaluate(R, t):
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
-            opt.use_edge_filter, opt.use_pallas_lgsx,
+            opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
         )
 
     sys0 = evaluate(R0, t0)
@@ -281,7 +346,7 @@ def lm_level(
             s = inn.state
             # Damped solve: A(i,i) *= 1 + lambda (optimizer.cpp:261-262).
             Ad = A + jnp.diag(jnp.diag(A) * s.lam)
-            inc = jnp.linalg.solve(Ad, g)
+            inc = _solve_damped(Ad, g, opt.solve6_impl)
             inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
             inc_try = inn.inc_try + 1
             dR, dt_ = lie.exp_se3(inc)
@@ -361,7 +426,7 @@ def gn_level_fixed(
     def evaluate(R, t):
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
-            opt.use_edge_filter, opt.use_pallas_lgsx,
+            opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
         )
 
     sys0 = evaluate(R0, t0)
@@ -370,7 +435,7 @@ def gn_level_fixed(
     def body(_, carry):
         R, t, sys, lam = carry
         Ad = sys.A + jnp.diag(jnp.diag(sys.A) * lam)
-        inc = jnp.linalg.solve(Ad, sys.g)
+        inc = _solve_damped(Ad, sys.g, opt.solve6_impl)
         inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
         dR, dt_ = lie.exp_se3(inc)
         Rn, tn = lie.compose(dR, dt_, R, t)

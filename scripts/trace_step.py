@@ -20,7 +20,9 @@ def full_step(g, d, kf, R, t, c):
     f = build_frame(g, d, c)
     return tracker.track_frames(kf, f, R, t, c)
 
+print("compiling...", flush=True)
 out = full_step(g1, d1, kf, R0, t0, cfg); jax.block_until_ready(out)
+print("compiled; tracing...", flush=True)
 jax.profiler.start_trace("/tmp/jaxtrace_cur")
 for _ in range(5):
     out = full_step(g1, d1, kf, out.R, out.t, cfg)

@@ -173,7 +173,11 @@ class TestBilinear:
         """bilinear_sample_window (the TPU fast path used by the solver)
         must agree with the 4-take formulation everywhere, including at
         clamped border coordinates."""
-        from revo_tpu.ops.interp import bilinear_sample, bilinear_sample_window
+        from revo_tpu.ops.interp import (
+            bilinear_sample,
+            bilinear_sample_pair,
+            bilinear_sample_window,
+        )
 
         rng = np.random.default_rng(3)
         img = rng.normal(size=(24, 33, 3)).astype(np.float32)
@@ -188,6 +192,10 @@ class TestBilinear:
             bilinear_sample_window(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
         )
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
+        c = np.asarray(
+            bilinear_sample_pair(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )
+        np.testing.assert_allclose(a, c, rtol=0, atol=0)
 
     def test_gather2d_matches_indexing(self):
         from revo_tpu.ops.interp import gather2d

@@ -280,3 +280,28 @@ class TestHistogramVoting:
             past, jnp.eye(4), f, cfg
         )
         assert not bool(new_kf)  # histogram.size() < 4 guard
+
+
+class TestSolve6LDLT:
+    def test_matches_numpy_solve_on_spd(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            M = rng.normal(size=(6, 6)).astype(np.float32)
+            A = M @ M.T + 1e-3 * np.eye(6, dtype=np.float32)
+            b = rng.normal(size=6).astype(np.float32)
+            want = np.linalg.solve(A.astype(np.float64), b.astype(np.float64))
+            got = np.asarray(solver.solve6_ldlt(jnp.asarray(A), jnp.asarray(b)))
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    def test_damped_normal_matrix_shape(self):
+        # Ill-conditioned but damped like the LM loop uses it.
+        rng = np.random.default_rng(1)
+        J = rng.normal(size=(100, 6)).astype(np.float32)
+        J[:, 3:] *= 1e-3  # poorly scaled rotational block
+        A = (J.T @ J / 100).astype(np.float32)
+        lam = 0.01
+        Ad = A + np.diag(np.diag(A) * lam)
+        b = rng.normal(size=6).astype(np.float32)
+        want = np.linalg.solve(Ad.astype(np.float64), b.astype(np.float64))
+        got = np.asarray(solver.solve6_ldlt(jnp.asarray(Ad), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-4)
