@@ -37,11 +37,27 @@ from revo_tpu.ops.interp import (
     gather2d,
 )
 
+def _row_major(struct):
+    """Constrain the sample table to row-major (C minor) before gathering.
+
+    XLA's layout assignment gives the keyframe struct a transposed layout
+    inside the tracker step, which forces the slow scalarized gather
+    emitter; pinning row-major (one cheap copy) lets the windowed gather
+    take the fast slice path it shows in isolation."""
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    return with_layout_constraint(
+        struct, Layout(tuple(range(struct.ndim)))
+    )
+
+
 _BILINEAR = {
     "take4": bilinear_sample,
     "taps": bilinear_sample_taps,
     "window": bilinear_sample_window,
     "pair": bilinear_sample_pair,
+    "take4_rm": lambda s, u, v: bilinear_sample(_row_major(s), u, v),
+    "window_rm": lambda s, u, v: bilinear_sample_window(_row_major(s), u, v),
 }
 
 

@@ -64,7 +64,8 @@ def main():
 
     variants = [
         ("ldlt+take4", cfg_with(solve6_impl="ldlt", bilinear_impl="take4")),
-        ("ldlt+pair", cfg_with(solve6_impl="ldlt", bilinear_impl="pair")),
+        ("ldlt+take4_rm", cfg_with(solve6_impl="ldlt", bilinear_impl="take4_rm")),
+        ("ldlt+window_rm", cfg_with(solve6_impl="ldlt", bilinear_impl="window_rm")),
     ]
     for name, c in variants:
         ms = _time(step, g, d, kf, R0, t0v, c)
