@@ -164,8 +164,12 @@ def restore(vo, ckpt: VOCheckpoint, frame_for_kf=None) -> None:
         )
         for i in range(len(ckpt.timestamps))
     ]
+    from revo_tpu import ops as _ops
+
+    _structs = tuple(jnp.asarray(s) for s in ckpt.kf_structs)
     vo.kf = Keyframe(
-        structs=tuple(jnp.asarray(s) for s in ckpt.kf_structs),
+        structs=_structs,
+        quads=tuple(_ops.quad_structure(s) for s in _structs),
         frame=frame_for_kf,
         T_w_k=jnp.asarray(ckpt.kf_T_w),
     )

@@ -108,10 +108,12 @@ class OptimizerConfig:
     # Bilinear-sampling gather formulation for the residual pass.  XLA's
     # TPU gather emitter choice is context-dependent (the windowed form is
     # 60x faster in isolation but ~30x slower inside the tracker step), so
-    # the implementation is a measured knob: "take4" (flattened row takes,
-    # the proven default), "taps" (four (1,1,C)-slice gathers), "window"
-    # (one (2,2,C)-slice gather).
-    bilinear_impl: str = "take4"
+    # the implementation is a measured knob: "quad" (ONE row take from the
+    # keyframe's packed (H, W, 12) 2x2-neighborhood table — the row-gather
+    # cost is per-index overhead, not bytes, so packing quarters it;
+    # measured 12.6 -> 10.7 ms/step on v5e, ab_track), "take4" (four row
+    # takes), "taps"/"window"/"pair" (lax.gather slice forms).
+    bilinear_impl: str = "quad"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

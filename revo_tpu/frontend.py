@@ -141,6 +141,7 @@ class Keyframe(NamedTuple):
     """
 
     structs: Tuple[jax.Array, ...]  # per level (H, W, 3): (gx, gy, dt)
+    quads: Tuple[jax.Array, ...]  # per level (H, W, 12) packed 2x2 table
     frame: Frame
     T_w_k: jax.Array  # (4, 4) keyframe-to-world
 
@@ -192,4 +193,5 @@ def make_keyframe(frame: Frame, T_w_k: jax.Array, cfg: SystemConfig) -> Keyframe
     structs = tuple(
         ops.keyframe_structure(lv.edges) for lv in frame.levels
     )
-    return Keyframe(structs=structs, frame=frame, T_w_k=T_w_k)
+    quads = tuple(ops.quad_structure(s) for s in structs)
+    return Keyframe(structs=structs, quads=quads, frame=frame, T_w_k=T_w_k)

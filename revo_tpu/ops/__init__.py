@@ -20,6 +20,7 @@ from revo_tpu.ops.edt import (
     distance_transform,
     build_optimization_structure,
     keyframe_structure,
+    quad_structure,
 )
 from revo_tpu.ops.interp import bilinear_sample
 from revo_tpu.ops.backproject import backproject_edges
@@ -34,6 +35,7 @@ __all__ = [
     "distance_transform",
     "build_optimization_structure",
     "keyframe_structure",
+    "quad_structure",
     "bilinear_sample",
     "backproject_edges",
     "patch_histogram",

@@ -107,3 +107,19 @@ def keyframe_structure(edges: jax.Array) -> jax.Array:
     """Fused DT + gradients: the per-level keyframe tensor (makeKeyframe,
     imgpyramidrgbd.cpp:231-252)."""
     return build_optimization_structure(distance_transform(edges))
+
+
+def quad_structure(struct: jax.Array) -> jax.Array:
+    """(H, W, 3) structure -> (H, W, 12) quad table for 1-gather bilinear.
+
+    Q[y, x] = concat(S[y, x], S[y, x+1], S[y+1, x], S[y+1, x+1]) — the full
+    2x2 bilinear neighborhood packed contiguously, so the solver's sample
+    needs ONE row gather per pass instead of four (XLA's TPU gather
+    scalarizes per row; the per-row cost is index overhead, not bytes).
+    Built once per keyframe level.  The last row/column are edge-padded;
+    they are unreachable because sample coords are clipped to (w-2, h-2).
+    """
+    right = jnp.pad(struct, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
+    down = jnp.pad(struct, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
+    downright = jnp.pad(down, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
+    return jnp.concatenate([struct, right, down, downright], axis=-1)

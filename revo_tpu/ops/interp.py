@@ -46,6 +46,38 @@ def bilinear_sample(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     )
 
 
+def bilinear_sample_quad(
+    quad: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """bilinear_sample against a packed (H, W, 4*C) quad table
+    (ops.edt.quad_structure): ONE row take fetches the whole 2x2xC
+    neighborhood, quartering the dominant scalarized-gather cost.
+
+    Bit-identical weights/formula to bilinear_sample.
+    """
+    h, w = quad.shape[0], quad.shape[1]
+    c = quad.shape[2] // 4
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    flat = quad.reshape(h * w, 4 * c)
+    q = jnp.take(flat, iy * w + ix, axis=0)  # (N, 4*C)
+    i00 = q[:, 0 * c : 1 * c]
+    i01 = q[:, 1 * c : 2 * c]
+    i10 = q[:, 2 * c : 3 * c]
+    i11 = q[:, 3 * c : 4 * c]
+    dxdy = dx * dy
+    return (
+        dxdy * i11
+        + (dy - dxdy) * i10
+        + (dx - dxdy) * i01
+        + (1.0 - dx - dy + dxdy) * i00
+    )
+
+
 def gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     """img[iy, ix] for (N,) int32 indices via a windowed lax.gather.
 
@@ -144,6 +176,45 @@ def bilinear_sample_pair(
         + (dy - dxdy) * i10
         + (dx - dxdy) * i01
         + (1.0 - dx - dy + dxdy) * i00
+    )
+
+
+def bilinear_sample_window_ob(
+    img: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """bilinear_sample_window with an optimization_barrier isolating the
+    gather from its producers/consumers.
+
+    XLA's TPU gather emitter choice is context-dependent (fast standalone
+    gather vs scalarized loop fusion when fused with producers); the
+    barrier pins the standalone form inside large fused steps."""
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    starts = jnp.stack([iy, ix], axis=-1)  # (N, 2)
+    img_b, starts_b = jax.lax.optimization_barrier((img, starts))
+    win = jax.lax.gather(
+        img_b,
+        starts_b,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(2, 2, img.shape[2]),
+        mode="clip",
+    )  # (N, 2, 2, C)
+    win = jax.lax.optimization_barrier(win)
+    dxdy = dx * dy
+    return (
+        dxdy * win[:, 1, 1]
+        + (dy - dxdy) * win[:, 1, 0]
+        + (dx - dxdy) * win[:, 0, 1]
+        + (1.0 - dx - dy + dxdy) * win[:, 0, 0]
     )
 
 

@@ -7,6 +7,7 @@ Each kernel has an interpret-mode path so the CPU test suite exercises the
 same code (pl.pallas_call(interpret=True) off-TPU).
 """
 
+from revo_tpu.ops.pallas.vma import out_struct
 from revo_tpu.ops.pallas.hysteresis import hysteresis_pallas
 
-__all__ = ["hysteresis_pallas"]
+__all__ = ["hysteresis_pallas", "out_struct"]

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from revo_tpu.ops.pallas.vma import out_struct
+
 from revo_tpu.ops.pallas.hysteresis import _shift2d, _run_batched
 
 _TAN22 = 0.4142135623730950488
@@ -127,7 +129,7 @@ def _canny_single(gp: jax.Array, low_sq: float, high_sq: float) -> jax.Array:
             _full_kernel2d, low_sq=low_sq, high_sq=high_sq, max_iters=h + w
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        out_shape=out_struct((h, w), jnp.float32, gp),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -147,8 +149,8 @@ def _nms_batched(gp_b: jax.Array, low_sq: float, high_sq: float):
             functools.partial(_nms_kernel2d, low_sq=low_sq, high_sq=high_sq),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_shape=(
-                jax.ShapeDtypeStruct((h, w), jnp.float32),
-                jax.ShapeDtypeStruct((h, w), jnp.float32),
+                out_struct((h, w), jnp.float32, gp_b),
+                out_struct((h, w), jnp.float32, gp_b),
             ),
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -169,8 +171,8 @@ def _nms_batched(gp_b: jax.Array, low_sq: float, high_sq: float):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            out_struct((b, h, w), jnp.float32, gp_b),
+            out_struct((b, h, w), jnp.float32, gp_b),
         ),
         out_specs=(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from revo_tpu.ops.pallas.vma import out_struct
+
 _UNROLL = 8
 
 
@@ -99,7 +101,7 @@ def _run_batched(cand_b: jax.Array, strong_b: jax.Array) -> jax.Array:
     if b == 1:
         out = pl.pallas_call(
             functools.partial(_kernel2d, max_iters=h + w),
-            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            out_shape=out_struct((h, w), jnp.float32, cand_b, strong_b),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -120,7 +122,7 @@ def _run_batched(cand_b: jax.Array, strong_b: jax.Array) -> jax.Array:
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        out_shape=out_struct((b, h, w), jnp.float32, cand_b, strong_b),
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(

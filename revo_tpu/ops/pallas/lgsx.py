@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from revo_tpu.ops.pallas.vma import out_struct
+
 _BLOCK = 2048
 
 
@@ -110,9 +112,9 @@ def lgsx_reduce(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((6, 6), jnp.float32),
-            jax.ShapeDtypeStruct((1, 6), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_struct((6, 6), jnp.float32, wxp_t, grads_t, rw),
+            out_struct((1, 6), jnp.float32, wxp_t, grads_t, rw),
+            out_struct((1, 1), jnp.float32, wxp_t, grads_t, rw),
         ),
         out_specs=(
             pl.BlockSpec((6, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -34,6 +34,8 @@ from revo_tpu.ops.interp import (
     bilinear_sample_pair,
     bilinear_sample_taps,
     bilinear_sample_window,
+    bilinear_sample_window_ob,
+    bilinear_sample_quad,
     gather2d,
 )
 
@@ -58,6 +60,18 @@ _BILINEAR = {
     "pair": bilinear_sample_pair,
     "take4_rm": lambda s, u, v: bilinear_sample(_row_major(s), u, v),
     "window_rm": lambda s, u, v: bilinear_sample_window(_row_major(s), u, v),
+    "window_ob": bilinear_sample_window_ob,
+    "window_ob_rm": lambda s, u, v: bilinear_sample_window_ob(
+        _row_major(s), u, v
+    ),
+    # "quad" expects the (H, W, 12) packed table (ops.edt.quad_structure);
+    # callers that only have the (H, W, 3) struct fall back to take4, which
+    # computes the identical result (tests construct structs directly).
+    "quad": lambda s, u, v: (
+        bilinear_sample_quad(s, u, v)
+        if s.shape[-1] == 12
+        else bilinear_sample(s, u, v)
+    ),
 }
 
 

@@ -60,9 +60,10 @@ def track_frames(
 
     err = jnp.float32(jnp.inf)
     info = None
+    use_quad = opt.bilinear_impl == "quad"
     for lvl in range(pyr.pyr_min_lvl, pyr.pyr_max_lvl - 1, -1):
         R, t, err, info = solver.solve_level(
-            kf.structs[lvl],
+            kf.quads[lvl] if use_quad else kf.structs[lvl],
             frame.levels[lvl].cloud,
             cams[lvl],
             R,

@@ -64,8 +64,7 @@ def main():
 
     variants = [
         ("ldlt+take4", cfg_with(solve6_impl="ldlt", bilinear_impl="take4")),
-        ("ldlt+take4_rm", cfg_with(solve6_impl="ldlt", bilinear_impl="take4_rm")),
-        ("ldlt+window_rm", cfg_with(solve6_impl="ldlt", bilinear_impl="window_rm")),
+        ("ldlt+quad", cfg_with(solve6_impl="ldlt", bilinear_impl="quad")),
     ]
     for name, c in variants:
         ms = _time(step, g, d, kf, R0, t0v, c)
