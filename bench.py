@@ -106,6 +106,7 @@ def _tpu_fps(cfg, grays, depths) -> float:
 
     cfg_b = dataclasses.replace(
         cfg,
+        pyramid=dataclasses.replace(cfg.pyramid, compaction="rank"),
         tracker=dataclasses.replace(
             cfg.tracker,
             optimizer=dataclasses.replace(

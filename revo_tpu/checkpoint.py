@@ -169,7 +169,10 @@ def restore(vo, ckpt: VOCheckpoint, frame_for_kf=None) -> None:
     _structs = tuple(jnp.asarray(s) for s in ckpt.kf_structs)
     vo.kf = Keyframe(
         structs=_structs,
-        quads=tuple(_ops.quad_structure(s) for s in _structs),
+        quads=tuple(
+            _ops.quad_structure(s, vo.cfg.tracker.optimizer.quad_form)
+            for s in _structs
+        ),
         frame=frame_for_kf,
         T_w_k=jnp.asarray(ckpt.kf_T_w),
     )

@@ -62,6 +62,13 @@ class PyramidConfig:
     pyr_max_lvl: int = 0  # finest level tracked (camerapyr.h:46)
     undistort: bool = False
     use_edge_hist: bool = True  # BMVC17 edge fill-in (camerapyr.h:62)
+    # Edge-cloud stream compaction: "rank" = per-slot rank-select (dense
+    # compare-reduces + one (capacity,)-index gather), "scatter" = cumsum +
+    # per-pixel scatter (XLA's TPU scatter serializes over all H*W lanes).
+    # Measured on v5e (ab_track / ab_batch): single-seq scatter 8.0 ms/step
+    # vs rank 10.0; batched B=8 rank 61.4 ms vs scatter 85.1 — another
+    # context-dependent emitter: use "rank" for vmapped/batched pipelines.
+    compaction: str = "scatter"
     n_percentage: float = 0.3  # occupancy threshold for fill-in
     # Patch sizes of the per-level edge-occupancy histogram; "chosen in a way
     # that we always get 32x24 patches for 3 levels starting from 640x480"
@@ -114,6 +121,13 @@ class OptimizerConfig:
     # measured 12.6 -> 10.7 ms/step on v5e, ab_track), "take4" (four row
     # takes), "taps"/"window"/"pair" (lax.gather slice forms).
     bilinear_impl: str = "quad"
+    # Storage layout of the packed quad table (ops.edt.quad_structure):
+    # "hw12" (H, W, 12), "flat" (H*W, 12), "t" (12, H*W).  Another measured
+    # emitter knob: the batched (vmapped) step's gather otherwise re-copies
+    # the table to its preferred layout INSIDE the solver loop (12x/step).
+    # Measured on v5e (ab_track / ab_batch): flat 7.98 ms/step single
+    # (hw12 8.88), flat 86.3 ms/batched-step B=8 (hw12 95.5, take4 131).
+    quad_form: str = "flat"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

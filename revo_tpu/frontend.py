@@ -118,6 +118,7 @@ def build_frame(
             pyr.depth_min,
             pyr.depth_max,
             pyr.edge_capacity[lvl],
+            compaction=pyr.compaction,
         )
         levels.append(
             FrameLevel(
@@ -193,5 +194,8 @@ def make_keyframe(frame: Frame, T_w_k: jax.Array, cfg: SystemConfig) -> Keyframe
     structs = tuple(
         ops.keyframe_structure(lv.edges) for lv in frame.levels
     )
-    quads = tuple(ops.quad_structure(s) for s in structs)
+    quads = tuple(
+        ops.quad_structure(s, cfg.tracker.optimizer.quad_form)
+        for s in structs
+    )
     return Keyframe(structs=structs, quads=quads, frame=frame, T_w_k=T_w_k)

@@ -109,8 +109,9 @@ def keyframe_structure(edges: jax.Array) -> jax.Array:
     return build_optimization_structure(distance_transform(edges))
 
 
-def quad_structure(struct: jax.Array) -> jax.Array:
-    """(H, W, 3) structure -> (H, W, 12) quad table for 1-gather bilinear.
+def quad_structure(struct: jax.Array, form: str = "hw12") -> jax.Array:
+    """(H, W, 3) structure -> packed 2x2-neighborhood quad table for
+    1-gather bilinear sampling.
 
     Q[y, x] = concat(S[y, x], S[y, x+1], S[y+1, x], S[y+1, x+1]) — the full
     2x2 bilinear neighborhood packed contiguously, so the solver's sample
@@ -118,8 +119,20 @@ def quad_structure(struct: jax.Array) -> jax.Array:
     scalarizes per row; the per-row cost is index overhead, not bytes).
     Built once per keyframe level.  The last row/column are edge-padded;
     they are unreachable because sample coords are clipped to (w-2, h-2).
+
+    ``form`` picks the storage layout (OptimizerConfig.quad_form, a
+    measured knob for the gather emitter): "hw12" = (H, W, 12),
+    "flat" = (H*W, 12), "t" = (12, H*W).
     """
     right = jnp.pad(struct, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
     down = jnp.pad(struct, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
     downright = jnp.pad(down, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
-    return jnp.concatenate([struct, right, down, downright], axis=-1)
+    q = jnp.concatenate([struct, right, down, downright], axis=-1)
+    if form == "hw12":
+        return q
+    flat = q.reshape(-1, q.shape[-1])
+    if form == "flat":
+        return flat
+    if form == "t":
+        return flat.T
+    raise ValueError(f"unknown quad form: {form!r}")

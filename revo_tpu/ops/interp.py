@@ -47,24 +47,47 @@ def bilinear_sample(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def bilinear_sample_quad(
-    quad: jax.Array, u: jax.Array, v: jax.Array
+    quad: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    h: int | None = None,
+    w: int | None = None,
 ) -> jax.Array:
-    """bilinear_sample against a packed (H, W, 4*C) quad table
+    """bilinear_sample against a packed 2x2-neighborhood quad table
     (ops.edt.quad_structure): ONE row take fetches the whole 2x2xC
     neighborhood, quartering the dominant scalarized-gather cost.
 
+    The table form is inferred from the shape (the storage layout is a
+    measured knob — XLA's TPU gather emitter prefers different operand
+    layouts in different surrounding programs, see OptimizerConfig.quad_form):
+      - (H, W, 4*C): 3-D table, reshaped to rows here.
+      - (H*W, 4*C): pre-flattened rows ("flat"; needs h, w).
+      - (4*C, H*W): transposed ("t"; needs h, w) — the minormost-index
+        layout the batched-step gather emitter otherwise copies into.
     Bit-identical weights/formula to bilinear_sample.
     """
-    h, w = quad.shape[0], quad.shape[1]
-    c = quad.shape[2] // 4
+    if quad.ndim == 3:
+        h, w = quad.shape[0], quad.shape[1]
+        flat = quad.reshape(h * w, quad.shape[2])
+        transposed = False
+    elif quad.shape[0] < quad.shape[1]:  # (4*C, H*W)
+        flat = quad
+        transposed = True
+    else:  # (H*W, 4*C)
+        flat = quad
+        transposed = False
+    c = (flat.shape[1] if not transposed else flat.shape[0]) // 4
     ix = jnp.floor(u).astype(jnp.int32)
     iy = jnp.floor(v).astype(jnp.int32)
     dx = (u - ix.astype(u.dtype))[:, None]
     dy = (v - iy.astype(v.dtype))[:, None]
     ix = jnp.clip(ix, 0, w - 2)
     iy = jnp.clip(iy, 0, h - 2)
-    flat = quad.reshape(h * w, 4 * c)
-    q = jnp.take(flat, iy * w + ix, axis=0)  # (N, 4*C)
+    base = iy * w + ix
+    if transposed:
+        q = jnp.take(flat, base, axis=1).T  # (N, 4*C)
+    else:
+        q = jnp.take(flat, base, axis=0)  # (N, 4*C)
     i00 = q[:, 0 * c : 1 * c]
     i01 = q[:, 1 * c : 2 * c]
     i10 = q[:, 2 * c : 3 * c]

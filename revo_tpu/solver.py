@@ -64,15 +64,17 @@ _BILINEAR = {
     "window_ob_rm": lambda s, u, v: bilinear_sample_window_ob(
         _row_major(s), u, v
     ),
-    # "quad" expects the (H, W, 12) packed table (ops.edt.quad_structure);
-    # callers that only have the (H, W, 3) struct fall back to take4, which
-    # computes the identical result (tests construct structs directly).
-    "quad": lambda s, u, v: (
-        bilinear_sample_quad(s, u, v)
-        if s.shape[-1] == 12
-        else bilinear_sample(s, u, v)
-    ),
 }
+
+
+def _sample_quad(s, u, v, h_img: int, w_img: int):
+    """Quad-table bilinear dispatch for the "quad" impl: forms are inferred
+    from shape (ops.edt.quad_structure).  Callers that only have the
+    (H, W, 3) struct fall back to take4, which computes the identical
+    result (tests construct structs directly)."""
+    if s.ndim == 3 and s.shape[-1] != 12:
+        return bilinear_sample(s, u, v)
+    return bilinear_sample_quad(s, u, v, h=h_img, w=w_img)
 
 
 def _solve_damped(Ad, g, impl: str):
@@ -175,7 +177,10 @@ def _residual_sums(
     in_bounds = (u > 1.0) & (v > 1.0) & (u < w_img - 2.0) & (v < h_img - 2.0)
     in_bounds = in_bounds & cloud.valid
 
-    samp = _BILINEAR[bilinear_impl](struct, u, v)  # (P, 3): gx, gy, dt
+    if bilinear_impl == "quad":
+        samp = _sample_quad(struct, u, v, h_img, w_img)  # (P, 3)
+    else:
+        samp = _BILINEAR[bilinear_impl](struct, u, v)  # (P, 3): gx, gy, dt
     r = samp[:, 2]
     gx = cam.fx * samp[:, 0]
     gy = cam.fy * samp[:, 1]
@@ -443,15 +448,21 @@ def gn_level_fixed(
     opt: OptimizerConfig,
     lvl: int,
 ):
-    """Fixed-iteration branchless LM (the TPU fast path; SURVEY.md §7).
+    """Bounded branchless LM (the TPU fast path; SURVEY.md §7).
 
     One fused evaluation per iteration: the candidate pose's system doubles
     as the next iteration's linearization when accepted; on rejection the
-    damping quadruples and the old system is kept.  A lax.fori_loop with
-    where-gated state — no data-dependent trip counts, vmap/scan friendly.
+    damping quadruples and the old system is kept.  Runs as a while_loop
+    bounded by fixed_iters with the reference's convergence exits
+    (err/lastErr > eps on accept, |inc|^2 <= stepMin on reject,
+    optimizer.cpp:250-307): under vmap the loop runs to the WORST trip
+    count across the batch — still far below the bound on typical frames,
+    where each level-0 evaluation costs a ~3 ms scalarized gather (B=8).
     """
     iters = opt.fixed_iters[lvl]
     edge_dist = opt.edge_distance_lvl[lvl]
+    conv_eps = opt.convergence_eps[lvl]
+    step_min = opt.step_size_min[lvl]
 
     def evaluate(R, t):
         return residual_system(
@@ -461,9 +472,15 @@ def gn_level_fixed(
 
     sys0 = evaluate(R0, t0)
     lam0 = sys0.err * 0 + opt.lambda_initial[lvl] + 1e-5
+    i0 = sys0.info.good * 0
+    done0 = sys0.err < -jnp.inf  # False, with input-derived varying axes
 
-    def body(_, carry):
-        R, t, sys, lam = carry
+    def cond(carry):
+        i, R, t, sys, lam, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        i, R, t, sys, lam, done = carry
         Ad = sys.A + jnp.diag(jnp.diag(sys.A) * lam)
         inc = _solve_damped(Ad, sys.g, opt.solve6_impl)
         inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
@@ -471,13 +488,18 @@ def gn_level_fixed(
         Rn, tn = lie.compose(dR, dt_, R, t)
         sys_n = evaluate(Rn, tn)
         accept = sys_n.err < sys.err
+        converged = sys_n.err / jnp.maximum(sys.err, 1e-30) > conv_eps
+        small_step = ~(jnp.dot(inc, inc) > step_min)
+        done = jnp.where(accept, converged, small_step)
         R = jnp.where(accept, Rn, R)
         t = jnp.where(accept, tn, t)
         sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_n, sys)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return R, t, sys, lam
+        return i + 1, R, t, sys, lam, done
 
-    R, t, sys, _ = jax.lax.fori_loop(0, iters, body, (R0, t0, sys0, lam0))
+    _, R, t, sys, _, _ = jax.lax.while_loop(
+        cond, body, (i0, R0, t0, sys0, lam0, done0)
+    )
     return R, t, sys.err, sys.info
 
 

@@ -53,9 +53,10 @@ def main():
         f = build_frame(gg, dd, c)
         return tracker.track_frames(kf_, f, R, t, c)
 
-    def cfg_with(**kw):
+    def cfg_with(compaction="rank", **kw):
         return dataclasses.replace(
             base,
+            pyramid=dataclasses.replace(base.pyramid, compaction=compaction),
             tracker=dataclasses.replace(
                 base.tracker,
                 optimizer=dataclasses.replace(base.tracker.optimizer, **kw),
@@ -63,10 +64,12 @@ def main():
         )
 
     variants = [
-        ("ldlt+take4", cfg_with(solve6_impl="ldlt", bilinear_impl="take4")),
-        ("ldlt+quad", cfg_with(solve6_impl="ldlt", bilinear_impl="quad")),
+        ("scatter", cfg_with(compaction="scatter")),
+        ("rank", cfg_with(compaction="rank")),
     ]
     for name, c in variants:
+        kf = make_keyframe(f0, jnp.eye(4), c)
+        jax.block_until_ready(kf.structs)
         ms = _time(step, g, d, kf, R0, t0v, c)
         print(f"{name:20s} {ms:7.2f} ms/step", flush=True)
 

@@ -1,5 +1,10 @@
+"""Trace the batched (vmapped B=8) build+track step per-HLO on TPU, and map
+the hottest ops back to revo_tpu source lines via the compiled HLO metadata.
+
+    timeout 590 python scripts/trace_batch.py [quad_form]
+"""
 import sys; sys.path.insert(0, "/root/repo")
-import dataclasses, functools, gzip, json, collections, glob
+import dataclasses, functools, gzip, json, collections, glob, re
 import jax, jax.numpy as jnp
 import numpy as np
 from revo_tpu import tracker
@@ -7,35 +12,56 @@ from revo_tpu.frontend import build_frame, make_keyframe
 from revo_tpu.config import SystemConfig
 from revo_tpu.io.synthetic import SyntheticScene, render_sequence
 
+FORM = sys.argv[1] if len(sys.argv) > 1 else "flat"
 cfg = SystemConfig()
 cfg_b = dataclasses.replace(
     cfg,
+    pyramid=dataclasses.replace(cfg.pyramid, compaction="rank"),
     tracker=dataclasses.replace(
         cfg.tracker,
-        optimizer=dataclasses.replace(cfg.tracker.optimizer, solver="gn_fixed"),
+        optimizer=dataclasses.replace(
+            cfg.tracker.optimizer, solver="gn_fixed", quad_form=FORM
+        ),
     ),
 )
 frames = list(render_sequence(SyntheticScene(), cfg.camera, 3, seed=0))
 g1 = frames[1][0].astype(np.uint8)
 d1 = (frames[1][1] * 5000).astype(np.uint16)
-f0 = build_frame(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg)
-kf = make_keyframe(f0, jnp.eye(4), cfg); jax.block_until_ready(kf.structs)
+f0 = build_frame(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg_b)
+kf = make_keyframe(f0, jnp.eye(4), cfg_b)
+jax.block_until_ready(kf.structs)
 
 B = 8
-@functools.partial(jax.jit, static_argnames=("c",))
-def step(g, d, kf, R, t, c):
-    f = build_frame(g, d, c)
-    return tracker.track_frames(kf, f, R, t, c)
+def step(g, d, k, R, t):
+    f = build_frame(g, d, cfg_b)
+    return tracker.track_frames(k, f, R, t, cfg_b)
 
-vstep = jax.jit(jax.vmap(lambda g, d, k, R, t: step(g, d, k, R, t, cfg_b)))
+vstep = jax.jit(jax.vmap(step))
 gb = jnp.stack([jnp.asarray(g1)] * B)
 db = jnp.stack([jnp.asarray(d1)] * B)
 kfb = jax.tree.map(lambda x: jnp.stack([x] * B), kf)
 Rb = jnp.stack([jnp.eye(3)] * B)
 tb = jnp.stack([jnp.zeros(3)] * B)
 
-print("compiling...", flush=True)
-out = vstep(gb, db, kfb, Rb, tb); jax.block_until_ready(out)
+print(f"compiling (quad_form={FORM})...", flush=True)
+compiled = vstep.lower(gb, db, kfb, Rb, tb).compile()
+hlo = compiled.as_text()
+
+# op name -> (op_name metadata, source) for exact-name attribution
+attr = {}
+for line in hlo.splitlines():
+    m = re.match(r"\s*(?:ROOT\s+)?%([\w.\-]+)\s*=", line)
+    if not m:
+        continue
+    op = re.search(r'op_name="([^"]*)"', line)
+    src = re.search(r'source_file="([^"]*)"[^"]*source_line=(\d+)', line)
+    attr[m.group(1)] = (
+        (op.group(1) if op else ""),
+        (f"{src.group(1).split('/')[-1]}:{src.group(2)}" if src else ""),
+    )
+
+out = vstep(gb, db, kfb, Rb, tb)
+jax.block_until_ready(out)
 import time
 t0 = time.perf_counter()
 N = 5
@@ -45,7 +71,7 @@ jax.block_until_ready(out)
 print(f"batched step: {(time.perf_counter()-t0)/N*1e3:.1f} ms  "
       f"(agg {B*N/(time.perf_counter()-t0):.1f} fps)", flush=True)
 
-import os, shutil, tempfile
+import tempfile
 trace_dir = tempfile.mkdtemp(prefix="jaxtrace_batch_")
 jax.profiler.start_trace(trace_dir)
 for _ in range(N):
@@ -60,5 +86,7 @@ agg = collections.Counter(); cnt = collections.Counter()
 for e in data.get('traceEvents', []):
     if e.get('ph') == 'X' and 'dur' in e:
         agg[e.get('name','')] += e['dur']; cnt[e.get('name','')] += 1
-for name, us in agg.most_common(25):
-    print(f"{us/N:9.0f} us/step x{cnt[name]/N:5.1f}  {name[:90]}", flush=True)
+for name, us in agg.most_common(28):
+    op, src = attr.get(name, ("", ""))
+    print(f"{us/N:9.0f} us/step x{cnt[name]/N:5.1f}  {name[:40]:40s} "
+          f"{src:28s} {op[-70:]}", flush=True)

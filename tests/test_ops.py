@@ -197,6 +197,33 @@ class TestBilinear:
         )
         np.testing.assert_allclose(a, c, rtol=0, atol=0)
 
+    def test_quad_table_forms_match(self):
+        """Every quad-table storage form (hw12/flat/t — the gather-emitter
+        layout knob, OptimizerConfig.quad_form) must reproduce the 4-take
+        bilinear exactly, including at clamped border coordinates."""
+        from revo_tpu.ops.edt import quad_structure
+        from revo_tpu.ops.interp import bilinear_sample, bilinear_sample_quad
+
+        rng = np.random.default_rng(7)
+        img = rng.normal(size=(24, 33, 3)).astype(np.float32)
+        u = np.concatenate(
+            [rng.uniform(-2, 35, size=200), [0.0, 31.0, 32.9, 1.5]]
+        ).astype(np.float32)
+        v = np.concatenate(
+            [rng.uniform(-2, 26, size=200), [0.0, 22.0, 23.9, 1.5]]
+        ).astype(np.float32)
+        a = np.asarray(
+            bilinear_sample(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )
+        for form in ("hw12", "flat", "t"):
+            q = quad_structure(jnp.asarray(img), form)
+            got = np.asarray(
+                bilinear_sample_quad(
+                    q, jnp.asarray(u), jnp.asarray(v), h=24, w=33
+                )
+            )
+            np.testing.assert_allclose(a, got, rtol=0, atol=0, err_msg=form)
+
     def test_gather2d_matches_indexing(self):
         from revo_tpu.ops.interp import gather2d
 
@@ -258,6 +285,34 @@ class TestBackproject:
         )
         assert int(cloud.count) == 256
         assert int(np.asarray(cloud.valid).sum()) == 100
+
+    def test_rank_compaction_matches_scatter(self):
+        """The rank-select compaction (the TPU fast path: dense compare-
+        reduces instead of a per-pixel scatter) must reproduce the scatter
+        compaction bit-exactly: same slots, same validity, same count —
+        including the f32 uniform-decimation rounding on overflow and
+        non-multiple-of-128 sizes."""
+        from revo_tpu.ops.backproject import _compact_rank, _compact_scatter
+
+        rng = np.random.default_rng(11)
+        cases = [
+            (rng.random((120, 160)) < 0.06, 512),  # fits
+            (rng.random((120, 160)) < 0.5, 1024),  # heavy overflow
+            (rng.random((120, 160)) < 0.061, 1170),  # count ~ capacity
+            (np.zeros((120, 160), bool), 256),  # empty
+            (np.ones((16, 16), bool), 100),  # all edges, overflow
+            (rng.random((30, 33)) < 0.2, 128),  # size % 128 != 0
+        ]
+        for mask, cap in cases:
+            ia, va, ca = _compact_scatter(jnp.asarray(mask), cap)
+            ib, vb, cb = _compact_rank(jnp.asarray(mask), cap)
+            assert int(ca) == int(cb)
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+            np.testing.assert_array_equal(
+                np.asarray(ia) * np.asarray(va),
+                np.asarray(ib) * np.asarray(vb),
+                err_msg=f"cap={cap} count={int(ca)}",
+            )
 
 
 class TestEdgeHist:
