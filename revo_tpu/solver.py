@@ -453,11 +453,16 @@ def gn_level_fixed(
     One fused evaluation per iteration: the candidate pose's system doubles
     as the next iteration's linearization when accepted; on rejection the
     damping quadruples and the old system is kept.  Runs as a while_loop
-    bounded by fixed_iters with the reference's convergence exits
-    (err/lastErr > eps on accept, |inc|^2 <= stepMin on reject,
-    optimizer.cpp:250-307): under vmap the loop runs to the WORST trip
-    count across the batch — still far below the bound on typical frames,
-    where each level-0 evaluation costs a ~3 ms scalarized gather (B=8).
+    bounded by fixed_iters with convergence exits: err/lastErr > eps on
+    accept (optimizer.cpp:250-307), and on reject the symmetric test —
+    a candidate that is barely WORSE (err/lastErr < 2 - eps) means the
+    basin is flat and the level is converged.  The reference's reject exit
+    (|inc|^2 <= stepSizeMin = 1e-16) instead needs ~15 lambda escalations
+    to trigger, burning a full residual evaluation each — a ~3 ms
+    scalarized gather per evaluation at B=8.  Rejects that overshoot by
+    more than the eps band keep iterating with raised damping (ATE-parity
+    gated by test_solver_modes / test_batch).  Under vmap the loop runs to
+    the WORST trip count across the batch.
     """
     iters = opt.fixed_iters[lvl]
     edge_dist = opt.edge_distance_lvl[lvl]
@@ -488,9 +493,11 @@ def gn_level_fixed(
         Rn, tn = lie.compose(dR, dt_, R, t)
         sys_n = evaluate(Rn, tn)
         accept = sys_n.err < sys.err
-        converged = sys_n.err / jnp.maximum(sys.err, 1e-30) > conv_eps
+        ratio = sys_n.err / jnp.maximum(sys.err, 1e-30)
+        converged = ratio > conv_eps
+        flat = ratio < (2.0 - conv_eps)
         small_step = ~(jnp.dot(inc, inc) > step_min)
-        done = jnp.where(accept, converged, small_step)
+        done = jnp.where(accept, converged, small_step | flat)
         R = jnp.where(accept, Rn, R)
         t = jnp.where(accept, tn, t)
         sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_n, sys)
