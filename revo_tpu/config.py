@@ -122,12 +122,16 @@ class OptimizerConfig:
     # takes), "taps"/"window"/"pair" (lax.gather slice forms).
     bilinear_impl: str = "quad"
     # Storage layout of the packed quad table (ops.edt.quad_structure):
-    # "hw12" (H, W, 12), "flat" (H*W, 12), "t" (12, H*W).  Another measured
-    # emitter knob: the batched (vmapped) step's gather otherwise re-copies
-    # the table to its preferred layout INSIDE the solver loop (12x/step).
-    # Measured on v5e (ab_track / ab_batch): flat 7.98 ms/step single
-    # (hw12 8.88), flat 86.3 ms/batched-step B=8 (hw12 95.5, take4 131).
-    quad_form: str = "flat"
+    # "hw12" (H, W, 12), "flat" (H*W, 12), "t" (12, H*W), "flat16"
+    # (H*W, 16) padded, "flatbf" (H*W, 12) bfloat16.  Measured emitter
+    # knob: the batched step's gather cost is index-count x row-bytes
+    # sensitive — halving row bytes with bf16 storage nearly halves it
+    # (v5e, ab_batch B=8: flatbf 28.3 ms/batched-step vs flat 47.4,
+    # flat16 54.5; ab_track single-seq: flatbf 7.47 ms/step vs flat 8.03).
+    # bf16 sampling noise is ATE-neutral (gn_fixed identical, lm +0.004 cm
+    # on the depth-holes suite).  The f32 "flat" form remains for exact-
+    # reference numerics.
+    quad_form: str = "flatbf"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

@@ -122,16 +122,24 @@ def quad_structure(struct: jax.Array, form: str = "hw12") -> jax.Array:
 
     ``form`` picks the storage layout (OptimizerConfig.quad_form, a
     measured knob for the gather emitter): "hw12" = (H, W, 12),
-    "flat" = (H*W, 12), "t" = (12, H*W).
+    "flat" = (H*W, 12), "t" = (12, H*W), "flat16" = (H*W, 16) with each
+    tap padded to 4 lanes (64-byte aligned rows), "flatbf" = (H*W, 12)
+    bfloat16 (half the row bytes; samples upcast after the gather).
     """
     right = jnp.pad(struct, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
     down = jnp.pad(struct, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
     downright = jnp.pad(down, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
-    q = jnp.concatenate([struct, right, down, downright], axis=-1)
+    taps = [struct, right, down, downright]
+    if form == "flat16":
+        pad = jnp.zeros_like(struct[..., :1])
+        taps = [jnp.concatenate([tp, pad], axis=-1) for tp in taps]
+    q = jnp.concatenate(taps, axis=-1)
+    if form == "flatbf":
+        q = q.astype(jnp.bfloat16)
     if form == "hw12":
         return q
     flat = q.reshape(-1, q.shape[-1])
-    if form == "flat":
+    if form in ("flat", "flat16", "flatbf"):
         return flat
     if form == "t":
         return flat.T

@@ -52,6 +52,7 @@ def bilinear_sample_quad(
     v: jax.Array,
     h: int | None = None,
     w: int | None = None,
+    batched_take: str = "take",
 ) -> jax.Array:
     """bilinear_sample against a packed 2x2-neighborhood quad table
     (ops.edt.quad_structure): ONE row take fetches the whole 2x2xC
@@ -87,10 +88,13 @@ def bilinear_sample_quad(
     if transposed:
         q = jnp.take(flat, base, axis=1).T  # (N, 4*C)
     else:
-        # Under vmap this becomes a batch-dim gather; flattening the batch
-        # into offset indices via custom_vmap was measured STRICTLY WORSE
-        # (B=8 step 61.5 -> 75.7 ms on v5e) — keep the plain take.
-        q = jnp.take(flat, base, axis=0)  # (N, 4*C)
+        # Under vmap the plain take becomes a batch-dim gather; the
+        # lane-folded custom_vmap forms above restore the fast 2-D
+        # emitter (flattening the batch into ROW offsets instead was
+        # measured STRICTLY WORSE: B=8 step 61.5 -> 75.7 ms on v5e).
+        q = _QUAD_TAKES[batched_take](flat, base)  # (N, 4*C)
+    if q.dtype != u.dtype:
+        q = q.astype(u.dtype)  # "flatbf" bf16 storage upcasts post-gather
     i00 = q[:, 0 * c : 1 * c]
     i01 = q[:, 1 * c : 2 * c]
     i10 = q[:, 2 * c : 3 * c]
@@ -102,6 +106,113 @@ def bilinear_sample_quad(
         + (dx - dxdy) * i01
         + (1.0 - dx - dy + dxdy) * i00
     )
+
+
+def _take_rows(flat: jax.Array, base: jax.Array) -> jax.Array:
+    """jnp.take(flat, base, axis=0) used by the quad sampler; split out so
+    the lane-folded batching rule below can wrap exactly this op."""
+    return jnp.take(flat, base, axis=0)
+
+
+@jax.custom_batching.custom_vmap
+def _take_rows_lanefold(flat: jax.Array, base: jax.Array) -> jax.Array:
+    return _take_rows(flat, base)
+
+
+@_take_rows_lanefold.def_vmap
+def _take_rows_lanefold_vmap(axis_size, in_batched, flat, base):
+    """Batched quad-row gather without gather batching dims.
+
+    XLA's TPU gather emitter costs ~24 ns/index for the batched form
+    (operand (B, HW, 12) + 2 start components) vs ~10 ns/index for the
+    plain 2-D single-sequence form (hlo_batch vs hlo_step, v5e) — at
+    B=8 x 16384 points x ~10 solver evaluations that emitter difference
+    alone is ~15 ms/step.  This rule folds the B per-sequence tables
+    along LANES into one shared (HW, B*12) operand so the per-evaluation
+    gather is again a single-row-index 2-D gather; each output row then
+    keeps its own sequence's 12 lanes via a one-hot multiply-reduce.
+
+    MEASURED A LOSS on v5e (ab_batch): 81.8 ms/batched-step vs 46.7 for
+    the plain batch-dim take — the wide (1, B*12) slice rows do not hit
+    the fast single-sequence emitter.  Kept (with the lf12 variant) as
+    A/B forms documenting the third failed reformulation of this gather;
+    see the interp.py:93 comment for the flat-offset one.
+    """
+    flat_b, base_b = in_batched
+    if not (flat_b and base_b):
+        # Shared table or shared indices: the plain take batches fine.
+        out = jax.vmap(
+            _take_rows,
+            in_axes=(0 if flat_b else None, 0 if base_b else None),
+        )(flat, base)
+        return out, True
+    b = axis_size
+    hw, c = flat.shape[1], flat.shape[2]
+    p = base.shape[1]
+    tab = jnp.transpose(flat, (1, 0, 2)).reshape(hw, b * c)
+    rows = base.reshape(-1, 1)  # (B*P, 1)
+    win = jax.lax.gather(
+        tab,
+        rows,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, b * c),
+        mode="clip",
+    )  # (B*P, B*c)
+    win = win.reshape(b, p, b, c)
+    sel = jnp.eye(b, dtype=win.dtype)[:, None, :, None]  # (B, 1, B, 1)
+    out = (win * sel).sum(axis=2)  # (B, P, c)
+    return out, True
+
+
+@jax.custom_batching.custom_vmap
+def _take_rows_lanefold12(flat: jax.Array, base: jax.Array) -> jax.Array:
+    return _take_rows(flat, base)
+
+
+@_take_rows_lanefold12.def_vmap
+def _take_rows_lanefold12_vmap(axis_size, in_batched, flat, base):
+    """Lane-folded batched gather, (1, 12)-slice variant: same shared
+    (HW, B*12) operand but two start components (row, lane=12*b) and
+    slice_sizes (1, c) — gathers 1/B the bytes of the (1, B*c) form at
+    the cost of a second index component.  MEASURED A LOSS on v5e
+    (ab_batch): 79.5 ms/batched-step vs 46.7 for the batch-dim take."""
+    flat_b, base_b = in_batched
+    if not (flat_b and base_b):
+        out = jax.vmap(
+            _take_rows,
+            in_axes=(0 if flat_b else None, 0 if base_b else None),
+        )(flat, base)
+        return out, True
+    b = axis_size
+    hw, c = flat.shape[1], flat.shape[2]
+    p = base.shape[1]
+    tab = jnp.transpose(flat, (1, 0, 2)).reshape(hw, b * c)
+    rows = base.reshape(-1)  # (B*P,)
+    lanes = jnp.repeat(jnp.arange(b, dtype=base.dtype) * c, p)
+    starts = jnp.stack([rows, lanes], axis=-1)  # (B*P, 2)
+    out = jax.lax.gather(
+        tab,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(1, c),
+        mode="clip",
+    )  # (B*P, c)
+    return out.reshape(b, p, c), True
+
+
+_QUAD_TAKES = {
+    "take": _take_rows,
+    "lanefold": _take_rows_lanefold,
+    "lanefold12": _take_rows_lanefold12,
+}
 
 
 def gather2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:

@@ -67,14 +67,16 @@ _BILINEAR = {
 }
 
 
-def _sample_quad(s, u, v, h_img: int, w_img: int):
+def _sample_quad(s, u, v, h_img: int, w_img: int, batched_take: str = "take"):
     """Quad-table bilinear dispatch for the "quad" impl: forms are inferred
     from shape (ops.edt.quad_structure).  Callers that only have the
     (H, W, 3) struct fall back to take4, which computes the identical
     result (tests construct structs directly)."""
     if s.ndim == 3 and s.shape[-1] != 12:
         return bilinear_sample(s, u, v)
-    return bilinear_sample_quad(s, u, v, h=h_img, w=w_img)
+    return bilinear_sample_quad(
+        s, u, v, h=h_img, w=w_img, batched_take=batched_take
+    )
 
 
 def _solve_damped(Ad, g, impl: str):
@@ -177,8 +179,13 @@ def _residual_sums(
     in_bounds = (u > 1.0) & (v > 1.0) & (u < w_img - 2.0) & (v < h_img - 2.0)
     in_bounds = in_bounds & cloud.valid
 
-    if bilinear_impl == "quad":
-        samp = _sample_quad(struct, u, v, h_img, w_img)  # (P, 3)
+    if bilinear_impl.startswith("quad"):
+        # "quad" / "quad_lf" / "quad_lf12": the suffix picks the batched
+        # (vmapped) gather form, see interp._QUAD_TAKES.
+        take = {"quad": "take", "quad_lf": "lanefold", "quad_lf12": "lanefold12"}
+        samp = _sample_quad(
+            struct, u, v, h_img, w_img, take[bilinear_impl]
+        )  # (P, 3)
     else:
         samp = _BILINEAR[bilinear_impl](struct, u, v)  # (P, 3): gx, gy, dt
     r = samp[:, 2]
@@ -481,11 +488,11 @@ def gn_level_fixed(
     done0 = sys0.err < -jnp.inf  # False, with input-derived varying axes
 
     def cond(carry):
-        i, R, t, sys, lam, done = carry
+        i, inc_try, R, t, sys, lam, done = carry
         return (i < iters) & ~done
 
     def body(carry):
-        i, R, t, sys, lam, done = carry
+        i, inc_try, R, t, sys, lam, done = carry
         Ad = sys.A + jnp.diag(jnp.diag(sys.A) * lam)
         inc = _solve_damped(Ad, sys.g, opt.solve6_impl)
         inc = jnp.where(jnp.isfinite(inc), inc, 0.0)
@@ -501,11 +508,24 @@ def gn_level_fixed(
         R = jnp.where(accept, Rn, R)
         t = jnp.where(accept, tn, t)
         sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_n, sys)
-        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return i + 1, R, t, sys, lam, done
+        # Reject chains keep the linearization, so each retry only re-damps
+        # the same system — escalate lambda like the reference's inner retry
+        # loop (optimizer.cpp:294-303): from ~0 jump straight to 0.2, then
+        # multiply by failFac^incTry (superexponential).  The constant x4
+        # used previously needed ~10 full residual evaluations to climb from
+        # 1e-5 to the accepting damping; this schedule gets there in ~4
+        # (each evaluation is a ~3 ms gather pass at B=8).
+        inc_try = jnp.where(accept, 0, inc_try + 1)
+        lam_fail = jnp.where(
+            lam < 0.2,
+            jnp.maximum(lam * opt.lambda_fail_fac, 0.2),
+            lam * opt.lambda_fail_fac ** inc_try.astype(jnp.float32),
+        )
+        lam = jnp.where(accept, lam * opt.lambda_success_fac, lam_fail)
+        return i + 1, inc_try, R, t, sys, lam, done
 
-    _, R, t, sys, _, _ = jax.lax.while_loop(
-        cond, body, (i0, R0, t0, sys0, lam0, done0)
+    _, _, R, t, sys, _, _ = jax.lax.while_loop(
+        cond, body, (i0, i0, R0, t0, sys0, lam0, done0)
     )
     return R, t, sys.err, sys.info
 
@@ -532,7 +552,16 @@ def eval_cost(
 
     ``normalized=True`` divides by the contributing-point count — an
     improvement over the reference, whose raw sum rewards poses that project
-    points out of bounds (see TrackerConfig.normalized_init_cost)."""
+    points out of bounds (see TrackerConfig.normalized_init_cost).
+
+    A "penalized mean" variant (clamp far samples to ``edge_distance``,
+    charge out-of-bounds points the full penalty, average over ALL valid
+    points) was tried and REVERTED: it looks more principled (the
+    drop-based metrics score a badly-wrong pose low when most points are
+    dropped), but it regressed trajectory accuracy 0.2 -> 11.9 cm ATE on
+    the depth-holes suite (test_gn_fixed_with_holes) — the drop-based
+    comparison apparently errs toward identity in exactly the frames
+    where the motion prior is unreliable."""
     pts = cloud.points
     wxp = pts @ R.T + t
     pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])

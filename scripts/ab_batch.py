@@ -65,8 +65,9 @@ def main():
         )
 
     variants = [
-        ("scatter", cfg_with(compaction="scatter")),
         ("rank", cfg_with(compaction="rank")),
+        ("rank+flat16", cfg_with(compaction="rank", quad_form="flat16")),
+        ("rank+flatbf", cfg_with(compaction="rank", quad_form="flatbf")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

@@ -65,7 +65,9 @@ def main():
 
     variants = [
         ("scatter", cfg_with(compaction="scatter")),
-        ("rank", cfg_with(compaction="rank")),
+        ("scatter+flatbf", cfg_with(compaction="scatter", quad_form="flatbf")),
+        ("scatter+flatbf+gn", cfg_with(
+            compaction="scatter", quad_form="flatbf", solver="gn_fixed")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

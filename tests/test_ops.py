@@ -215,14 +215,47 @@ class TestBilinear:
         a = np.asarray(
             bilinear_sample(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
         )
-        for form in ("hw12", "flat", "t"):
+        for form in ("hw12", "flat", "t", "flat16", "flatbf"):
             q = quad_structure(jnp.asarray(img), form)
             got = np.asarray(
                 bilinear_sample_quad(
                     q, jnp.asarray(u), jnp.asarray(v), h=24, w=33
                 )
+            )[:, :3]
+            if form == "flatbf":  # bf16 storage: ~8-bit mantissa
+                np.testing.assert_allclose(a, got, atol=0.05, err_msg=form)
+            else:
+                np.testing.assert_allclose(
+                    a, got, rtol=0, atol=0, err_msg=form
+                )
+
+    def test_quad_batched_takes_match(self):
+        """The batched-gather reformulations (interp._QUAD_TAKES, the
+        vmapped-emitter A/B knob OptimizerConfig.bilinear_impl suffix)
+        must be bit-identical to the plain batch-dim take under vmap."""
+        from revo_tpu.ops.edt import quad_structure
+        from revo_tpu.ops.interp import bilinear_sample_quad
+
+        import jax
+
+        rng = np.random.default_rng(11)
+        B, H, W, P = 3, 16, 20, 64
+        structs = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+        quads = jax.vmap(lambda s: quad_structure(s, "flat"))(
+            jnp.asarray(structs)
+        )
+        u = jnp.asarray(rng.uniform(1.5, W - 2.5, (B, P)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(1.5, H - 2.5, (B, P)).astype(np.float32))
+        outs = {}
+        for bt in ("take", "lanefold", "lanefold12"):
+            f = jax.vmap(
+                lambda q, uu, vv, bt=bt: bilinear_sample_quad(
+                    q, uu, vv, h=H, w=W, batched_take=bt
+                )
             )
-            np.testing.assert_allclose(a, got, rtol=0, atol=0, err_msg=form)
+            outs[bt] = np.asarray(jax.jit(f)(quads, u, v))
+        for bt in ("lanefold", "lanefold12"):
+            np.testing.assert_array_equal(outs[bt], outs["take"], err_msg=bt)
 
     def test_gather2d_matches_indexing(self):
         from revo_tpu.ops.interp import gather2d
