@@ -123,15 +123,22 @@ class OptimizerConfig:
     bilinear_impl: str = "quad"
     # Storage layout of the packed quad table (ops.edt.quad_structure):
     # "hw12" (H, W, 12), "flat" (H*W, 12), "t" (12, H*W), "flat16"
-    # (H*W, 16) padded, "flatbf" (H*W, 12) bfloat16.  Measured emitter
-    # knob: the batched step's gather cost is index-count x row-bytes
-    # sensitive — halving row bytes with bf16 storage nearly halves it
-    # (v5e, ab_batch B=8: flatbf 28.3 ms/batched-step vs flat 47.4,
-    # flat16 54.5; ab_track single-seq: flatbf 7.47 ms/step vs flat 8.03).
-    # bf16 sampling noise is ATE-neutral (gn_fixed identical, lm +0.004 cm
-    # on the depth-holes suite).  The f32 "flat" form remains for exact-
-    # reference numerics.
-    quad_form: str = "flatbf"
+    # (H*W, 16) padded, "flatbf" (H*W, 12) bfloat16, "dt4"/"dt4bf"
+    # (H*W, 4) dt-only taps with the Jacobian gradient derived from the
+    # bilinear dt surface (interp.bilinear_sample_dtquad).  Measured
+    # emitter knob: the batched step's gather cost is index-count x
+    # row-bytes sensitive down to ~16-byte rows — bf16 12-component rows
+    # nearly halved it (ab_batch B=8: flatbf 28.3 ms/batched-step vs
+    # flat 47.4, flat16 54.5) and the dt-only rows cut it again (dt4bf
+    # 20.0 vs flatbf 25.7 with the fused-depth compaction; dt4 == dt4bf,
+    # so 16 B/row is already at the per-index floor ~4 ns.  ab_track
+    # single-seq: dt4bf 6.78 ms/step vs flatbf 7.57).  Residuals are
+    # bit-identical across forms (modulo bf16 rounding); dt4's surface
+    # gradient is the exact GN linearization of the sampled interpolant
+    # and is ATE-parity gated (test_solver_modes, test_ops).  "flatbf"
+    # remains the reference central-difference-gradient form; f32 "flat"
+    # for exact-reference numerics.
+    quad_form: str = "dt4bf"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

@@ -125,7 +125,16 @@ def quad_structure(struct: jax.Array, form: str = "hw12") -> jax.Array:
     "flat" = (H*W, 12), "t" = (12, H*W), "flat16" = (H*W, 16) with each
     tap padded to 4 lanes (64-byte aligned rows), "flatbf" = (H*W, 12)
     bfloat16 (half the row bytes; samples upcast after the gather).
+
+    "dt4" / "dt4bf" = (H*W, 4) dt-only taps (f32 / bf16): the solver
+    derives the Jacobian gradient from the bilinear dt surface itself
+    (interp.bilinear_sample_dtquad) instead of the interpolated central
+    differences, cutting the gathered row to 16 / 8 bytes.  Residuals are
+    bit-identical to the 12-component forms; only the gradient source
+    differs (ATE-parity gated, tests/test_solver_modes.py).
     """
+    if form in ("dt4", "dt4bf"):
+        struct = struct[..., 2:3]  # dt channel only
     right = jnp.pad(struct, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
     down = jnp.pad(struct, ((0, 1), (0, 0), (0, 0)), mode="edge")[1:]
     downright = jnp.pad(down, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:]
@@ -134,12 +143,12 @@ def quad_structure(struct: jax.Array, form: str = "hw12") -> jax.Array:
         pad = jnp.zeros_like(struct[..., :1])
         taps = [jnp.concatenate([tp, pad], axis=-1) for tp in taps]
     q = jnp.concatenate(taps, axis=-1)
-    if form == "flatbf":
+    if form in ("flatbf", "dt4bf"):
         q = q.astype(jnp.bfloat16)
     if form == "hw12":
         return q
     flat = q.reshape(-1, q.shape[-1])
-    if form in ("flat", "flat16", "flatbf"):
+    if form in ("flat", "flat16", "flatbf", "dt4", "dt4bf"):
         return flat
     if form == "t":
         return flat.T

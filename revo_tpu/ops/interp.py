@@ -108,6 +108,54 @@ def bilinear_sample_quad(
     )
 
 
+def bilinear_sample_dtquad(
+    quad: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    h: int,
+    w: int,
+    batched_take: str = "take",
+) -> jax.Array:
+    """(gx, gy, dt) sampling from a dt-only (H*W, 4) quad table
+    (ops.edt.quad_structure forms "dt4"/"dt4bf").
+
+    The dt value is the same bilinear formula as bilinear_sample (bit-
+    identical residuals); the gradients are the analytic derivatives of
+    that bilinear surface, negated to the keyframe-structure sign
+    convention (imgpyramidrgbd.cpp:267-274 stores negated central
+    differences):
+
+        gx = -(d dt_s / du) = -(dy (i11-i10) + (1-dy)(i01-i00))
+        gy = -(d dt_s / dv) = -(dx (i11-i01) + (1-dx)(i10-i00))
+
+    This is the exact Gauss-Newton linearization of the sampled
+    interpolant (the reference instead interpolates precomputed central
+    differences — a smoother, 4x4-support gradient); the gathered row
+    shrinks from 12 to 4 components.  ATE-parity gated.
+    """
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    dx = (u - ix.astype(u.dtype))[:, None]
+    dy = (v - iy.astype(v.dtype))[:, None]
+    ix = jnp.clip(ix, 0, w - 2)
+    iy = jnp.clip(iy, 0, h - 2)
+    base = iy * w + ix
+    q = _QUAD_TAKES[batched_take](quad, base)  # (N, 4)
+    if q.dtype != u.dtype:
+        q = q.astype(u.dtype)
+    i00, i01, i10, i11 = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    dxdy = dx * dy
+    dt_s = (
+        dxdy * i11
+        + (dy - dxdy) * i10
+        + (dx - dxdy) * i01
+        + (1.0 - dx - dy + dxdy) * i00
+    )
+    gx = -(dy * (i11 - i10) + (1.0 - dy) * (i01 - i00))
+    gy = -(dx * (i11 - i01) + (1.0 - dx) * (i10 - i00))
+    return jnp.concatenate([gx, gy, dt_s], axis=-1)
+
+
 def _take_rows(flat: jax.Array, base: jax.Array) -> jax.Array:
     """jnp.take(flat, base, axis=0) used by the quad sampler; split out so
     the lane-folded batching rule below can wrap exactly this op."""

@@ -36,6 +36,7 @@ from revo_tpu.ops.interp import (
     bilinear_sample_window,
     bilinear_sample_window_ob,
     bilinear_sample_quad,
+    bilinear_sample_dtquad,
     gather2d,
 )
 
@@ -74,6 +75,10 @@ def _sample_quad(s, u, v, h_img: int, w_img: int, batched_take: str = "take"):
     result (tests construct structs directly)."""
     if s.ndim == 3 and s.shape[-1] != 12:
         return bilinear_sample(s, u, v)
+    if s.ndim == 2 and s.shape[-1] == 4:  # dt-only table ("dt4"/"dt4bf")
+        return bilinear_sample_dtquad(
+            s, u, v, h=h_img, w=w_img, batched_take=batched_take
+        )
     return bilinear_sample_quad(
         s, u, v, h=h_img, w=w_img, batched_take=batched_take
     )

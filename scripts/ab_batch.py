@@ -65,9 +65,9 @@ def main():
         )
 
     variants = [
-        ("rank", cfg_with(compaction="rank")),
-        ("rank+flat16", cfg_with(compaction="rank", quad_form="flat16")),
         ("rank+flatbf", cfg_with(compaction="rank", quad_form="flatbf")),
+        ("rank+dt4", cfg_with(compaction="rank", quad_form="dt4")),
+        ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

@@ -64,10 +64,10 @@ def main():
         )
 
     variants = [
-        ("scatter", cfg_with(compaction="scatter")),
         ("scatter+flatbf", cfg_with(compaction="scatter", quad_form="flatbf")),
-        ("scatter+flatbf+gn", cfg_with(
-            compaction="scatter", quad_form="flatbf", solver="gn_fixed")),
+        ("scatter+dt4", cfg_with(compaction="scatter", quad_form="dt4")),
+        ("scatter+dt4bf", cfg_with(compaction="scatter", quad_form="dt4bf")),
+        ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

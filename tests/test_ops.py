@@ -229,6 +229,48 @@ class TestBilinear:
                     a, got, rtol=0, atol=0, err_msg=form
                 )
 
+    def test_dtquad_value_and_surface_gradient(self):
+        """The dt-only quad form ("dt4"): the sampled dt matches the 4-take
+        bilinear exactly, and the gradients are the analytic derivatives of
+        the bilinear surface (negated, struct sign convention) — checked
+        against central finite differences of the sampled value."""
+        from revo_tpu.ops.edt import quad_structure
+        from revo_tpu.ops.interp import bilinear_sample, bilinear_sample_dtquad
+
+        rng = np.random.default_rng(11)
+        h, w = 24, 33
+        img = rng.normal(size=(h, w, 3)).astype(np.float32)
+        # Interior coords with fractional part in [0.1, 0.9] so the +-eps
+        # probes stay in the same bilinear cell (where the surface is
+        # differentiable).
+        u = (
+            rng.integers(2, w - 4, size=300) + rng.uniform(0.1, 0.9, size=300)
+        ).astype(np.float32)
+        v = (
+            rng.integers(2, h - 4, size=300) + rng.uniform(0.1, 0.9, size=300)
+        ).astype(np.float32)
+        q = quad_structure(jnp.asarray(img), "dt4")
+        got = np.asarray(
+            bilinear_sample_dtquad(q, jnp.asarray(u), jnp.asarray(v), h=h, w=w)
+        )
+        ref_dt = np.asarray(
+            bilinear_sample(jnp.asarray(img), jnp.asarray(u), jnp.asarray(v))
+        )[:, 2]
+        np.testing.assert_allclose(got[:, 2], ref_dt, rtol=0, atol=0)
+
+        eps = 1e-2  # surface is piecewise bilinear: exact for any in-cell eps
+        def dt_at(uu, vv):
+            return np.asarray(
+                bilinear_sample(
+                    jnp.asarray(img), jnp.asarray(uu), jnp.asarray(vv)
+                )
+            )[:, 2]
+
+        fd_gx = -(dt_at(u + eps, v) - dt_at(u - eps, v)) / (2 * eps)
+        fd_gy = -(dt_at(u, v + eps) - dt_at(u, v - eps)) / (2 * eps)
+        np.testing.assert_allclose(got[:, 0], fd_gx, atol=2e-3)
+        np.testing.assert_allclose(got[:, 1], fd_gy, atol=2e-3)
+
     def test_quad_batched_takes_match(self):
         """The batched-gather reformulations (interp._QUAD_TAKES, the
         vmapped-emitter A/B knob OptimizerConfig.bilinear_impl suffix)

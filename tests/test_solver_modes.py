@@ -38,6 +38,47 @@ class TestSolverModeParity:
             f"GN {ate_gn * 100:.2f} cm vs LM {ate_lm * 100:.2f} cm"
         )
 
+    def test_dt4_surface_gradient_ate_parity(self):
+        """dt-only quad table (quad_form="dt4bf"): residuals bit-identical,
+        Jacobian gradients from the bilinear dt surface instead of the
+        interpolated central differences — the trajectory must stay at
+        parity (the gathered row shrinks 24 -> 8 bytes)."""
+        from revo_tpu.io.synthetic import SyntheticScene
+
+        def with_form(cfg, form):
+            return dataclasses.replace(
+                cfg,
+                tracker=dataclasses.replace(
+                    cfg.tracker,
+                    optimizer=dataclasses.replace(
+                        cfg.tracker.optimizer, quad_form=form
+                    ),
+                ),
+            )
+
+        cfg12 = _with_solver(small_cfg(), "gn_fixed")
+        cfg4 = with_form(cfg12, "dt4bf")
+        poses12, gt, _, _ = run_vo(cfg12, 25, seed=4)
+        poses4, gt2, _, _ = run_vo(cfg4, 25, seed=4)
+        ate12 = absolute_trajectory_error(poses12, gt).rmse
+        ate4 = absolute_trajectory_error(poses4, gt2).rmse
+        assert ate4 < max(ate12 * 1.5, 0.005), (
+            f"dt4bf {ate4 * 100:.2f} cm vs flatbf {ate12 * 100:.2f} cm"
+        )
+        # Depth-holes suite (the case that killed the penalized-mean init
+        # metric, solver.eval_cost docstring).
+        ph12, gth, _, _ = run_vo(
+            cfg12, 15, seed=6, scene=SyntheticScene(depth_hole_frac=0.15)
+        )
+        ph4, gth2, _, _ = run_vo(
+            cfg4, 15, seed=6, scene=SyntheticScene(depth_hole_frac=0.15)
+        )
+        ah12 = absolute_trajectory_error(ph12, gth).rmse
+        ah4 = absolute_trajectory_error(ph4, gth2).rmse
+        assert ah4 < max(ah12 * 1.5, 0.01), (
+            f"holes: dt4bf {ah4 * 100:.2f} cm vs flatbf {ah12 * 100:.2f} cm"
+        )
+
     def test_gn_fixed_with_holes(self):
         from revo_tpu.io.synthetic import SyntheticScene
 
