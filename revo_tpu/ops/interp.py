@@ -162,6 +162,23 @@ def _take_rows(flat: jax.Array, base: jax.Array) -> jax.Array:
     return jnp.take(flat, base, axis=0)
 
 
+def _take_rows_ob(flat: jax.Array, base: jax.Array) -> jax.Array:
+    """_take_rows with optimization_barriers isolating the gather from its
+    producers/consumers.  The TPU gather emitter choice is context-
+    dependent: the solver's out-of-loop sys0 evaluation emits a 2.1x
+    slower gather than the bit-identical in-while form (trace_batch,
+    1885 vs 880 us at B=8 L0) because it fuses with the frame-build
+    producers; the barrier was meant to pin the standalone form.
+
+    MEASURED A CATASTROPHIC LOSS on v5e (ab_batch): 76.8 ms/batched-step
+    vs 19.6 for the plain take — the barrier forces the SLOW emitter in
+    the while-loop evaluations too.  Kept as an A/B form
+    (bilinear_impl="quad_ob") documenting the fourth failed gather
+    reformulation; do not use."""
+    flat_b, base_b = jax.lax.optimization_barrier((flat, base))
+    return jax.lax.optimization_barrier(jnp.take(flat_b, base_b, axis=0))
+
+
 @jax.custom_batching.custom_vmap
 def _take_rows_lanefold(flat: jax.Array, base: jax.Array) -> jax.Array:
     return _take_rows(flat, base)
@@ -258,6 +275,7 @@ def _take_rows_lanefold12_vmap(axis_size, in_batched, flat, base):
 
 _QUAD_TAKES = {
     "take": _take_rows,
+    "take_ob": _take_rows_ob,
     "lanefold": _take_rows_lanefold,
     "lanefold12": _take_rows_lanefold12,
 }

@@ -185,9 +185,14 @@ def _residual_sums(
     in_bounds = in_bounds & cloud.valid
 
     if bilinear_impl.startswith("quad"):
-        # "quad" / "quad_lf" / "quad_lf12": the suffix picks the batched
-        # (vmapped) gather form, see interp._QUAD_TAKES.
-        take = {"quad": "take", "quad_lf": "lanefold", "quad_lf12": "lanefold12"}
+        # "quad" / "quad_ob" / "quad_lf" / "quad_lf12": the suffix picks
+        # the (vmapped) gather form, see interp._QUAD_TAKES.
+        take = {
+            "quad": "take",
+            "quad_ob": "take_ob",
+            "quad_lf": "lanefold",
+            "quad_lf12": "lanefold12",
+        }
         samp = _sample_quad(
             struct, u, v, h_img, w_img, take[bilinear_impl]
         )  # (P, 3)
@@ -487,14 +492,32 @@ def gn_level_fixed(
             opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
         )
 
-    sys0 = evaluate(R0, t0)
-    lam0 = sys0.err * 0 + opt.lambda_initial[lvl] + 1e-5
-    i0 = sys0.info.good * 0
-    done0 = sys0.err < -jnp.inf  # False, with input-derived varying axes
+    # The initial linearization is folded INTO the loop: with a zero
+    # system and infinite error, iteration 0's damped solve yields inc=0,
+    # so its "candidate" is exactly (R0, t0) and it always accepts —
+    # a pure evaluation of the initial pose.  This keeps every residual
+    # gather in the while-body, where XLA's TPU emitter picks the fast
+    # form; the bit-identical out-of-loop sys0 evaluation emitted a 2.1x
+    # slower gather (trace_batch: 1885 vs 880 us at B=8 level 0).
+    tie = (R0.sum() + t0.sum()) * 0  # input-derived varying axes
+    sys0 = LevelSystem(
+        err=tie + jnp.inf,
+        A=jnp.zeros((6, 6), jnp.float32) + tie,
+        g=jnp.zeros(6, jnp.float32) + tie,
+        info=ResidualInfo(
+            good=jnp.int32(0) + tie.astype(jnp.int32),
+            bad=jnp.int32(0) + tie.astype(jnp.int32),
+            sum_error_weighted=tie,
+            sum_error_unweighted=tie,
+        ),
+    )
+    lam0 = tie + opt.lambda_initial[lvl] + 1e-5
+    i0 = jnp.int32(0) + tie.astype(jnp.int32)
+    done0 = tie < -jnp.inf  # False, with input-derived varying axes
 
     def cond(carry):
         i, inc_try, R, t, sys, lam, done = carry
-        return (i < iters) & ~done
+        return (i < iters + 1) & ~done
 
     def body(carry):
         i, inc_try, R, t, sys, lam, done = carry
@@ -510,6 +533,10 @@ def gn_level_fixed(
         flat = ratio < (2.0 - conv_eps)
         small_step = ~(jnp.dot(inc, inc) > step_min)
         done = jnp.where(accept, converged, small_step | flat)
+        # Iteration 0 is the baseline evaluation: always accepted (err <
+        # inf), never converged (ratio 0), and must not decay lambda.
+        first = i == 0
+        done = done & ~first
         R = jnp.where(accept, Rn, R)
         t = jnp.where(accept, tn, t)
         sys = jax.tree.map(lambda a, b: jnp.where(accept, a, b), sys_n, sys)
@@ -526,7 +553,9 @@ def gn_level_fixed(
             jnp.maximum(lam * opt.lambda_fail_fac, 0.2),
             lam * opt.lambda_fail_fac ** inc_try.astype(jnp.float32),
         )
-        lam = jnp.where(accept, lam * opt.lambda_success_fac, lam_fail)
+        lam = jnp.where(
+            first, lam, jnp.where(accept, lam * opt.lambda_success_fac, lam_fail)
+        )
         return i + 1, inc_try, R, t, sys, lam, done
 
     _, _, R, t, sys, _, _ = jax.lax.while_loop(

@@ -65,8 +65,6 @@ def main():
         )
 
     variants = [
-        ("rank+flatbf", cfg_with(compaction="rank", quad_form="flatbf")),
-        ("rank+dt4", cfg_with(compaction="rank", quad_form="dt4")),
         ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
     ]
     for name, c in variants:
