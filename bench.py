@@ -97,6 +97,36 @@ def _tpu_fps(cfg, grays, depths) -> float:
     jax.block_until_ready(res)
     resident_fps = N_TIMED / (time.perf_counter() - t_start)
 
+    # Scan-resident single sequence: the same per-frame step chained on
+    # device via lax.scan over the preloaded frames (the replay deployment
+    # mode).  Removes the per-call host dispatch (~2 ms through this
+    # environment's tunnel; far smaller on a real TPU host) that bounds
+    # the per-call resident number above.
+    gs = jnp.stack(g_dev)
+    ds = jnp.stack(d_dev)
+
+    @functools.partial(jax.jit, static_argnames=("c", "reps"))
+    def scan_steps(gs, ds, kf, R0, t0, c, reps):
+        def body(carry, gd):
+            R, t = carry
+            r = vo_step(gd[0], gd[1], kf, R, t, c)
+            return (r.R, r.t), r.error
+
+        def rep(carry, _):
+            carry, errs = jax.lax.scan(body, carry, (gs, ds))
+            return carry, errs
+
+        (R, t), errs = jax.lax.scan(rep, (R0, t0), None, length=reps)
+        return R, t, errs
+
+    reps = max(1, N_TIMED // N_FRAMES)
+    r = scan_steps(gs, ds, kf, R0, t0, cfg, reps)
+    jax.block_until_ready(r)
+    t_start = time.perf_counter()
+    r = scan_steps(gs, ds, kf, R0, t0, cfg, reps)
+    jax.block_until_ready(r)
+    scan_fps = reps * N_FRAMES / (time.perf_counter() - t_start)
+
     # Batched multi-sequence throughput (BASELINE.json config 4): B
     # independent sequences stepped together under vmap on one chip.
     # Under vmap the reference LM's data-dependent while_loops run to the
@@ -132,7 +162,7 @@ def _tpu_fps(cfg, grays, depths) -> float:
         resb = vstep(gb, db, kfb, resb.R, resb.t)
     jax.block_until_ready(resb)
     batch_fps = B * n_batch_steps / (time.perf_counter() - t_start)
-    return resident_fps, stream_fps, batch_fps
+    return resident_fps, scan_fps, stream_fps, batch_fps
 
 
 def _cpu_oracle_fps(cfg, grays, depths) -> float:
@@ -267,9 +297,9 @@ def main():
     grays, depths = _build_inputs(cfg)
 
     cpu_fps = _cpu_oracle_fps(cfg, grays, depths)
-    resident_fps, stream_fps, batch_fps = _tpu_fps(cfg, grays, depths)
+    resident_fps, scan_fps, stream_fps, batch_fps = _tpu_fps(cfg, grays, depths)
 
-    best = max(resident_fps, batch_fps)
+    best = max(resident_fps, scan_fps, batch_fps)
     print(
         json.dumps(
             {
@@ -279,6 +309,7 @@ def main():
                 "vs_baseline": round(best / cpu_fps, 2),
                 "baseline_cpu_oracle_fps": round(cpu_fps, 2),
                 "single_seq_fps": round(resident_fps, 2),
+                "single_seq_scan_fps": round(scan_fps, 2),
                 "batch8_agg_fps": round(batch_fps, 2),
                 "streaming_fps_tunnel": round(stream_fps, 2),
             }

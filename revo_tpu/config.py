@@ -62,13 +62,16 @@ class PyramidConfig:
     pyr_max_lvl: int = 0  # finest level tracked (camerapyr.h:46)
     undistort: bool = False
     use_edge_hist: bool = True  # BMVC17 edge fill-in (camerapyr.h:62)
-    # Edge-cloud stream compaction: "rank" = per-slot rank-select (dense
-    # compare-reduces + one (capacity,)-index gather), "scatter" = cumsum +
-    # per-pixel scatter (XLA's TPU scatter serializes over all H*W lanes).
-    # Measured on v5e (ab_track / ab_batch): single-seq scatter 8.0 ms/step
-    # vs rank 10.0; batched B=8 rank 61.4 ms vs scatter 85.1 — another
-    # context-dependent emitter: use "rank" for vmapped/batched pipelines.
-    compaction: str = "scatter"
+    # Edge-cloud stream compaction: "rank" = per-slot rank-select (block
+    # summaries located by a scatter-bincount + MXU ones-triangle cumsum,
+    # depth fused into the final (capacity,)-row take), "scatter" = cumsum
+    # + per-pixel scatter (XLA's TPU scatter serializes over all H*W
+    # lanes: 2.6 ms for level 0 alone single-seq).  The original rank form
+    # lost single-seq (10.0 vs 8.0 ms/step); after the bincount locator,
+    # triangular-matmul cumsum and fused depth it wins BOTH contexts
+    # (v5e ab_track: rank 3.64 ms/step vs scatter 6.78; ab_batch B=8
+    # rank 18.0 ms).  Outputs are bit-identical (fuzz-gated).
+    compaction: str = "rank"
     n_percentage: float = 0.3  # occupancy threshold for fill-in
     # Patch sizes of the per-level edge-occupancy histogram; "chosen in a way
     # that we always get 32x24 patches for 3 levels starting from 640x480"
