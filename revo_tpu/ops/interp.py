@@ -273,9 +273,43 @@ def _take_rows_lanefold12_vmap(axis_size, in_batched, flat, base):
     return out.reshape(b, p, c), True
 
 
+@jax.custom_batching.custom_vmap
+def _take_rows_foldrow(flat: jax.Array, base: jax.Array) -> jax.Array:
+    return _take_rows(flat, base)
+
+
+@_take_rows_foldrow.def_vmap
+def _take_rows_foldrow_vmap(axis_size, in_batched, flat, base):
+    """Batched row take with the batch folded into the ROW index: the
+    (B, HW, C) stacked tables reshape (free) to one (B*HW, C) operand and
+    the per-sequence bases get a b*HW offset, so the gather is the plain
+    single-index 2-D form instead of the batch-dim form.
+
+    MEASURED A LOSS TWICE: 61.5 -> 75.7 ms B=8 at 48-byte f32 rows
+    pre-dt4, and re-measured at 8-byte dt4bf rows hoping the single-index
+    emitter (~3.5 ns/idx single-seq vs ~6.7 batch-dim) would engage:
+    75.8 ms vs 17.7 (ab_batch B=8).  The fold itself appears to trigger
+    the scalarized emitter regardless of row bytes.  Kept as an A/B form
+    (bilinear_impl="quad_fr"); do not use."""
+    flat_b, base_b = in_batched
+    if not (flat_b and base_b):
+        out = jax.vmap(
+            _take_rows,
+            in_axes=(0 if flat_b else None, 0 if base_b else None),
+        )(flat, base)
+        return out, True
+    b, hw, c = flat.shape
+    p = base.shape[1]
+    tab = flat.reshape(b * hw, c)
+    offs = jnp.arange(b, dtype=base.dtype)[:, None] * hw
+    out = _take_rows(tab, (base + offs).reshape(-1))
+    return out.reshape(b, p, c), True
+
+
 _QUAD_TAKES = {
     "take": _take_rows,
     "take_ob": _take_rows_ob,
+    "foldrow": _take_rows_foldrow,
     "lanefold": _take_rows_lanefold,
     "lanefold12": _take_rows_lanefold12,
 }

@@ -190,6 +190,7 @@ def _residual_sums(
         take = {
             "quad": "take",
             "quad_ob": "take_ob",
+            "quad_fr": "foldrow",
             "quad_lf": "lanefold",
             "quad_lf12": "lanefold12",
         }

@@ -66,6 +66,8 @@ def main():
 
     variants = [
         ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
+        ("rank+dt4bf+fr", cfg_with(
+            compaction="rank", quad_form="dt4bf", bilinear_impl="quad_fr")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)
