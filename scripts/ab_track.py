@@ -64,10 +64,9 @@ def main():
         )
 
     variants = [
-        ("scatter+flatbf", cfg_with(compaction="scatter", quad_form="flatbf")),
-        ("scatter+dt4", cfg_with(compaction="scatter", quad_form="dt4")),
-        ("scatter+dt4bf", cfg_with(compaction="scatter", quad_form="dt4bf")),
-        ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
+        ("rank+dt4bf+lm", cfg_with(compaction="rank", quad_form="dt4bf")),
+        ("rank+dt4bf+gn", cfg_with(
+            compaction="rank", quad_form="dt4bf", solver="gn_fixed")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)
