@@ -17,7 +17,9 @@ import sys
 import numpy as np
 
 
-def _run_dataset(cfg, dataset: str, out_dir: str, gt_file=None) -> None:
+def _run_dataset(
+    cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0
+) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
     from revo_tpu.system import VOSystem
@@ -39,6 +41,19 @@ def _run_dataset(cfg, dataset: str, out_dir: str, gt_file=None) -> None:
         max_frames=cfg.dataset.read_n_images,
     )
     print(f"[revo_tpu] {dataset}: {len(assocs)} frames")
+
+    if auto_capacity > 0:
+        from revo_tpu.autotune import calibrate_capacities
+
+        probe = [
+            load_tum_frame(ds_dir, a, cfg.dataset.depth_scale_factor)[:2]
+            for a in assocs[:auto_capacity]
+        ]
+        cfg = calibrate_capacities(
+            cfg, [p[0] for p in probe], [p[1] for p in probe]
+        )
+        print(f"[revo_tpu] calibrated edge_capacity = "
+              f"{cfg.pyramid.edge_capacity}")
 
     if native_loader.native_available():
         # Native threaded prefetch (replaces the reference's IO thread);
@@ -179,6 +194,11 @@ def main(argv=None) -> int:
         help="groundtruth trajectory (TUM format, relative to the dataset "
              "dir) for in-repo ATE/RPE evaluation",
     )
+    parser.add_argument(
+        "--auto-capacity", type=int, default=0, metavar="N",
+        help="calibrate edge-cloud capacities from the first N frames "
+             "(TPU shape-bucketing; see revo_tpu.autotune)",
+    )
     args = parser.parse_args(argv)
 
     from revo_tpu.config import load_config
@@ -187,6 +207,19 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
 
     if args.synthetic > 0:
+        if args.auto_capacity > 0:
+            from revo_tpu.autotune import calibrate_capacities
+            from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+
+            probe = list(render_sequence(
+                SyntheticScene(), cfg.camera, args.auto_capacity,
+                seed=args.seed,
+            ))
+            cfg = calibrate_capacities(
+                cfg, [f[0] for f in probe], [f[1] for f in probe]
+            )
+            print(f"[revo_tpu] calibrated edge_capacity = "
+                  f"{cfg.pyramid.edge_capacity}")
         return _run_synthetic(cfg, args.synthetic, args.out, args.seed)
 
     if not args.dataset:
@@ -195,7 +228,10 @@ def main(argv=None) -> int:
         print("[revo_tpu] no datasets listed in config", file=sys.stderr)
         return 1
     for ds in cfg.dataset.datasets:
-        _run_dataset(cfg, ds, args.out, gt_file=args.gt)
+        _run_dataset(
+            cfg, ds, args.out, gt_file=args.gt,
+            auto_capacity=args.auto_capacity,
+        )
     return 0
 
 

@@ -1,0 +1,47 @@
+"""Capacity auto-calibration (revo_tpu.autotune): the TPU shape-bucket
+pattern must not change tracking results while frames stay under the
+fitted capacities."""
+import numpy as np
+
+from revo_tpu.autotune import calibrate_capacities, fit_capacities
+from revo_tpu.eval import absolute_trajectory_error
+from test_solver import small_cfg
+from test_system import run_vo
+
+
+class TestFitCapacities:
+    def test_rounding_and_margin(self):
+        caps = fit_capacities([[1000, 1200], [300]], margin=1.15,
+                              quantum=256, minimum=512)
+        # 1200*1.15=1380 -> 1536; 300*1.15=345 -> min 512
+        assert caps == (1536, 512)
+
+    def test_empty_level_uses_minimum(self):
+        assert fit_capacities([[]], minimum=1024) == (1024,)
+
+
+class TestCalibratedParity:
+    def test_vo_matches_uncalibrated(self):
+        from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+
+        cfg = small_cfg()
+        frames = list(
+            render_sequence(SyntheticScene(), cfg.camera, 3, seed=4)
+        )
+        cal = calibrate_capacities(
+            cfg, [f[0] for f in frames], [f[1] for f in frames]
+        )
+        # Calibration must shrink (or keep) every level's capacity.
+        assert all(
+            c <= o
+            for c, o in zip(cal.pyramid.edge_capacity,
+                            cfg.pyramid.edge_capacity)
+        )
+        poses_a, gt, _, _ = run_vo(cfg, 20, seed=4)
+        poses_b, gt2, _, _ = run_vo(cal, 20, seed=4)
+        ate_a = absolute_trajectory_error(poses_a, gt).rmse
+        ate_b = absolute_trajectory_error(poses_b, gt2).rmse
+        # Identical masked work (pad lanes contribute exact zeros); only
+        # reduction tiling may reorder float sums.
+        assert abs(ate_a - ate_b) < 5e-4, (ate_a, ate_b)
+        assert ate_b < 0.02
