@@ -20,6 +20,29 @@ class TestFitCapacities:
         assert fit_capacities([[]], minimum=1024) == (1024,)
 
 
+class TestOverflowDegradation:
+    def test_undersized_capacity_still_tracks(self):
+        """Capacities BELOW the real edge counts trigger the uniform
+        stride decimation (ops/backproject.py) — accuracy must degrade
+        gracefully, not fall over."""
+        import dataclasses
+
+        cfg = small_cfg()
+        tight = dataclasses.replace(
+            cfg,
+            pyramid=dataclasses.replace(
+                cfg.pyramid,
+                edge_capacity=tuple(
+                    max(256, c // 3) for c in cfg.pyramid.edge_capacity
+                ),
+            ),
+        )
+        poses, gt, report, _ = run_vo(tight, 15, seed=4)
+        ate = absolute_trajectory_error(poses, gt).rmse
+        assert report.tracking_lost == 0
+        assert ate < 0.03, f"decimated ATE {ate * 100:.2f} cm"
+
+
 class TestCalibratedParity:
     def test_vo_matches_uncalibrated(self):
         from revo_tpu.io.synthetic import SyntheticScene, render_sequence
