@@ -175,6 +175,9 @@ def _compact_rank(valid_px: jax.Array, capacity: int, aux=None):
         idx = bo * _BLK + flatpos
         return jnp.where(lane_valid, idx, 0), lane_valid, count
     a = jnp.pad(aux.ravel().astype(jnp.float32), (0, pad)).reshape(nb, _BLK)
+    # Non-finite aux entries sit on invalid pixels (hitf == 0 there), but
+    # 0 * NaN = NaN would poison the whole block's reduce — sanitize.
+    a = jnp.where(jnp.isfinite(a), a, 0.0)
     auxpos = (hitf * a[:, None, :]).sum(axis=2)  # (nb, BLK)
     table = jnp.stack([inpos_f, auxpos], axis=-1).reshape(nb * _BLK, 2)
     rows = jnp.take(table, bo * _BLK + kc, axis=0)  # (cap, 2)

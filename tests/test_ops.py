@@ -389,6 +389,33 @@ class TestBackproject:
                 err_msg=f"cap={cap} count={int(ca)}",
             )
 
+    def test_rank_fused_depth_survives_nan(self):
+        """NaN/inf depths sit on invalid pixels, but 0 * NaN = NaN would
+        poison the fused (offset, z) block reduce if unsanitized — the
+        rank path must return the same cloud as the scatter path."""
+        from revo_tpu.ops.backproject import backproject_edges
+
+        rng = np.random.default_rng(3)
+        h, w = 64, 96
+        edges = rng.random((h, w)) < 0.1
+        depth = rng.uniform(0.5, 4.0, size=(h, w)).astype(np.float32)
+        depth[rng.random((h, w)) < 0.2] = np.nan
+        depth[rng.random((h, w)) < 0.05] = np.inf
+        kw = dict(fx=100.0, fy=100.0, cx=48.0, cy=32.0,
+                  depth_min=0.1, depth_max=5.0, capacity=512)
+        a = backproject_edges(
+            jnp.asarray(edges), jnp.asarray(depth), compaction="scatter", **kw
+        )
+        b = backproject_edges(
+            jnp.asarray(edges), jnp.asarray(depth), compaction="rank", **kw
+        )
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        assert np.isfinite(np.asarray(b.points)).all()
+        np.testing.assert_allclose(
+            np.asarray(a.points), np.asarray(b.points), rtol=0, atol=0
+        )
+
 
 class TestEdgeHist:
     def test_patch_histogram(self):
