@@ -170,11 +170,11 @@ def _take_rows_ob(flat: jax.Array, base: jax.Array) -> jax.Array:
     1885 vs 880 us at B=8 L0) because it fuses with the frame-build
     producers; the barrier was meant to pin the standalone form.
 
-    MEASURED A CATASTROPHIC LOSS on v5e (ab_batch): 76.8 ms/batched-step
-    vs 19.6 for the plain take — the barrier forces the SLOW emitter in
-    the while-loop evaluations too.  Kept as an A/B form
-    (bilinear_impl="quad_ob") documenting the fourth failed gather
-    reformulation; do not use."""
+    NOTE: the first A/B of this form (76.8 ms vs 19.6 at B=8) was
+    INVALID — tracker.py's exact-match use_quad gate sent every suffixed
+    quad variant the (H, W, 3) struct, so it measured the take4 fallback,
+    not the barrier.  Re-A/B against the fixed gate before trusting any
+    verdict on this form."""
     flat_b, base_b = jax.lax.optimization_barrier((flat, base))
     return jax.lax.optimization_barrier(jnp.take(flat_b, base_b, axis=0))
 
@@ -202,6 +202,10 @@ def _take_rows_lanefold_vmap(axis_size, in_batched, flat, base):
     the fast single-sequence emitter.  Kept (with the lf12 variant) as
     A/B forms documenting the third failed reformulation of this gather;
     see the interp.py:93 comment for the flat-offset one.
+
+    CAVEAT: that A/B may predate the tracker.py use_quad gating fix
+    (suffixed quad variants silently measured the take4 fallback) —
+    re-A/B before trusting the verdict.
     """
     flat_b, base_b = in_batched
     if not (flat_b and base_b):
@@ -285,12 +289,14 @@ def _take_rows_foldrow_vmap(axis_size, in_batched, flat, base):
     the per-sequence bases get a b*HW offset, so the gather is the plain
     single-index 2-D form instead of the batch-dim form.
 
-    MEASURED A LOSS TWICE: 61.5 -> 75.7 ms B=8 at 48-byte f32 rows
-    pre-dt4, and re-measured at 8-byte dt4bf rows hoping the single-index
-    emitter (~3.5 ns/idx single-seq vs ~6.7 batch-dim) would engage:
-    75.8 ms vs 17.7 (ab_batch B=8).  The fold itself appears to trigger
-    the scalarized emitter regardless of row bytes.  Kept as an A/B form
-    (bilinear_impl="quad_fr"); do not use."""
+    History: a flat-offset fold measured a loss at 48-byte f32 rows
+    pre-dt4 (61.5 -> 75.7 ms B=8, when it was wired inside the plain
+    take's vmap path).  A second A/B of THIS form at 8-byte dt4bf rows
+    (75.8 vs 17.7) was INVALID — tracker.py's exact-match use_quad gate
+    sent every suffixed quad variant the (H, W, 3) struct, so it
+    measured the take4 fallback.  Re-A/B against the fixed gate: the
+    single-index emitter is ~3.5 ns/idx single-seq vs ~6.7 batch-dim,
+    so a genuine fold win would cut the batched solver gather ~2x."""
     flat_b, base_b = in_batched
     if not (flat_b and base_b):
         out = jax.vmap(

@@ -60,7 +60,11 @@ def track_frames(
 
     err = jnp.float32(jnp.inf)
     info = None
-    use_quad = opt.bilinear_impl == "quad"
+    # All "quad*" impls sample the packed quad table; the suffix only
+    # selects the gather form (solver._sample_quad).  An exact-match test
+    # here once sent the suffixed variants the (H, W, 3) struct instead,
+    # silently measuring the take4 fallback in their A/Bs.
+    use_quad = opt.bilinear_impl.startswith("quad")
     for lvl in range(pyr.pyr_min_lvl, pyr.pyr_max_lvl - 1, -1):
         R, t, err, info = solver.solve_level(
             kf.quads[lvl] if use_quad else kf.structs[lvl],

@@ -205,6 +205,45 @@ class TestTwoFrameTracking:
         assert rot_err < 0.005, f"rot err {rot_err:.4f}"
         assert not bool(res.new_kf)
 
+    def test_suffixed_quad_impls_match_quad(self):
+        """Every "quad*" bilinear_impl must actually sample the quad table
+        (tracker.use_quad once exact-matched "quad", silently sending the
+        suffixed gather-form variants the (H, W, 3) struct — their A/Bs
+        measured the take4 fallback).  With the same dt4bf table the pose
+        must match the plain "quad" impl to float noise."""
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        T0 = np.eye(4, dtype=np.float32)
+        xi = jnp.asarray([0.008, -0.004, 0.006, 0.003, 0.002, -0.002])
+        dR, dt_ = lie.exp_se3(xi)
+        T1 = T0 @ np.asarray(lie.matrix_from_rt(dR, dt_))
+        g0, d0 = render_frame(scene, cfg.camera, T0)
+        g1, d1 = render_frame(scene, cfg.camera, T1)
+
+        def with_impl(impl):
+            return dataclasses.replace(
+                cfg,
+                tracker=dataclasses.replace(
+                    cfg.tracker,
+                    optimizer=dataclasses.replace(
+                        cfg.tracker.optimizer, bilinear_impl=impl
+                    ),
+                ),
+            )
+
+        results = {}
+        for impl in ("quad", "quad_ob", "quad_fr"):
+            c = with_impl(impl)
+            f0 = build_frame(jnp.asarray(g0), jnp.asarray(d0), c)
+            f1 = build_frame(jnp.asarray(g1), jnp.asarray(d1), c)
+            kf = make_keyframe(f0, jnp.eye(4), c)
+            res = tracker.track_frames(kf, f1, jnp.eye(3), jnp.zeros(3), c)
+            results[impl] = np.asarray(lie.matrix_from_rt(res.R, res.t))
+        for impl in ("quad_ob", "quad_fr"):
+            np.testing.assert_allclose(
+                results[impl], results["quad"], atol=1e-6, err_msg=impl
+            )
+
     def test_identity_pair(self):
         """Tracking a frame against itself stays at identity."""
         cfg = small_cfg()
