@@ -53,8 +53,11 @@ def track_frames(
             dt_img, cloud, cams[min_lvl], R, t,
             opt.edge_distance_lvl[min_lvl], opt.use_edge_filter, norm,
         )
-        # "DO NOT INIT WITH PREVIOUS TRANSFORM" (tracker.cpp:277-282).
-        use_eye = cost_eye < cost_init
+        # "DO NOT INIT WITH PREVIOUS TRANSFORM" (tracker.cpp:277-282) —
+        # but only when identity is CLEARLY better (init_check_margin,
+        # see TrackerConfig): a noise-level win for identity on aliased
+        # structure locks tracking into the wrong basin.
+        use_eye = cost_eye < cfg.tracker.init_check_margin * cost_init
         R = jnp.where(use_eye, jnp.eye(3), R)
         t = jnp.where(use_eye, jnp.zeros(3), t)
 

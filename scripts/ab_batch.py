@@ -64,10 +64,18 @@ def main():
             ),
         )
 
+    # Re-adjudication of every gather form against the FIXED use_quad gate
+    # (tracker.py once sent all suffixed variants the take4 fallback).
     variants = [
-        ("rank+dt4bf", cfg_with(compaction="rank", quad_form="dt4bf")),
-        ("rank+dt4bf+fr", cfg_with(
+        ("rank+dt4bf",      cfg_with(compaction="rank", quad_form="dt4bf")),
+        ("rank+dt4bf+ob",   cfg_with(
+            compaction="rank", quad_form="dt4bf", bilinear_impl="quad_ob")),
+        ("rank+dt4bf+fr",   cfg_with(
             compaction="rank", quad_form="dt4bf", bilinear_impl="quad_fr")),
+        ("rank+dt4bf+lf",   cfg_with(
+            compaction="rank", quad_form="dt4bf", bilinear_impl="quad_lf")),
+        ("rank+dt4bf+lf12", cfg_with(
+            compaction="rank", quad_form="dt4bf", bilinear_impl="quad_lf12")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

@@ -94,6 +94,18 @@ class TestVOSequence:
         ate = absolute_trajectory_error(poses, gt)
         assert ate.rmse < 0.03, f"ATE {ate.rmse * 100:.2f} cm"
 
+    def test_init_check_margin_prevents_aliased_reset(self):
+        """Long-run regression for the init-check margin: on this
+        trajectory the raw cost(identity) < cost(prior) comparison flips
+        by 0.5% at one frame (true pose costs less than both) and the
+        identity reset locks tracking into an aliased basin ~15 cm off —
+        ATE 11 cm without the margin, sub-cm with it
+        (TrackerConfig.init_check_margin)."""
+        poses, gt, report, _ = run_vo(small_cfg(), 80, seed=9)
+        ate = absolute_trajectory_error(poses, gt)
+        assert ate.rmse < 0.02, f"ATE {ate.rmse * 100:.2f} cm"
+        assert report.tracking_lost == 0
+
 
 class TestTrajectoryIO:
     def test_tum_roundtrip(self, tmp_path):
