@@ -1,0 +1,153 @@
+"""Keyframe loop closure: detect revisits, verify with the DT tracker,
+correct with pose-graph GN.
+
+REVO is odometry-only — "no loop closure, no relocalization" (SURVEY.md
+§0; tracker.h:63).  This module adds the missing SLAM capability on top of
+components that already exist here: the keyframe history (system.py),
+the pairwise DT tracker as the geometric verifier (tracker.track_frames —
+the same residual the papers trust for odometry), and the distributed
+pose-graph optimizer (parallel/posegraph.py) for the correction.
+
+Pipeline (offline or periodic):
+1. Candidates: keyframe pairs (a, b), b - a > min_separation, whose
+   ESTIMATED positions sit within ``radius`` metres.
+2. Verification: track keyframe b's frame against keyframe a's DT
+   structure, initialized from the current estimate; accept on low mean
+   error and a healthy good/bad ratio (the tracker's own quality gates).
+3. Correction: odometry edges between consecutive keyframes + accepted
+   loop edges -> pose-graph GN; every frame re-anchors rigidly to its
+   (corrected) parent keyframe, exactly as REVO::Pose composes
+   T_w_kf @ T_kf_curr (system.h:130-133).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from revo_tpu import tracker
+from revo_tpu.config import SystemConfig
+from revo_tpu.frontend import Keyframe
+from revo_tpu.parallel.posegraph import PoseGraphEdges, optimize_pose_graph
+
+
+class LoopEdge(NamedTuple):
+    a: int  # earlier keyframe ordinal
+    b: int  # later keyframe ordinal
+    T_ab: np.ndarray  # (4, 4) verified relative pose (frame b in kf a)
+    error: float  # tracker mean weighted DT error
+
+
+def find_candidates(
+    kf_poses: Sequence[np.ndarray],
+    min_separation: int = 2,
+    radius: float = 0.5,
+    max_candidates: int = 20,
+) -> List[Tuple[int, int]]:
+    """Keyframe pairs whose estimated positions are within ``radius`` m and
+    at least ``min_separation`` keyframes apart (most-distant-in-time
+    first, capped)."""
+    out = []
+    for b in range(len(kf_poses)):
+        for a in range(0, b - min_separation):
+            d = float(
+                np.linalg.norm(kf_poses[b][:3, 3] - kf_poses[a][:3, 3])
+            )
+            if d < radius:
+                out.append((b - a, a, b))
+    out.sort(reverse=True)
+    return [(a, b) for _, a, b in out[:max_candidates]]
+
+
+def verify_candidate(
+    kf_a: Keyframe,
+    kf_b: Keyframe,
+    cfg: SystemConfig,
+    max_error: float = 1.0,
+    min_good_ratio: float = 4.0,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """Geometric verification: track b's frame against a's DT structure
+    from the current relative estimate.  Returns (T_ab, error) or None."""
+    T_a = np.asarray(kf_a.T_w_k)
+    T_b = np.asarray(kf_b.T_w_k)
+    T_ab0 = np.linalg.inv(T_a) @ T_b
+    res = tracker.track_frames(
+        kf_a,
+        kf_b.frame,
+        jnp.asarray(T_ab0[:3, :3].astype(np.float32)),
+        jnp.asarray(T_ab0[:3, 3].astype(np.float32)),
+        cfg,
+    )
+    err = float(res.error)
+    good = int(res.good)
+    bad = max(int(res.bad), 1)
+    if err > max_error or good / bad < min_good_ratio:
+        return None
+    T_ab = np.eye(4, dtype=np.float32)
+    T_ab[:3, :3] = np.asarray(res.R)
+    T_ab[:3, 3] = np.asarray(res.t)
+    return T_ab, err
+
+
+def close_loops(
+    keyframes: Sequence[Keyframe],
+    cfg: SystemConfig,
+    min_separation: int = 2,
+    radius: float = 0.5,
+    max_error: float = 1.0,
+    loop_weight: float = 2.0,
+    iters: int = 15,
+) -> Tuple[np.ndarray, List[LoopEdge]]:
+    """Detect + verify + correct over a keyframe list.
+
+    Returns (corrected keyframe world poses (K, 4, 4), accepted loop
+    edges).  With no accepted edges the input poses are returned
+    unchanged.
+    """
+    kf_T = [np.asarray(k.T_w_k).astype(np.float32) for k in keyframes]
+    k = len(kf_T)
+    loops: List[LoopEdge] = []
+    for a, b in find_candidates(kf_T, min_separation, radius):
+        v = verify_candidate(
+            keyframes[a], keyframes[b], cfg, max_error=max_error
+        )
+        if v is not None:
+            loops.append(LoopEdge(a=a, b=b, T_ab=v[0], error=v[1]))
+    poses0 = np.stack(kf_T)
+    if not loops or k < 2:
+        return poses0, loops
+
+    # Odometry edges from the current estimates (consecutive keyframes).
+    ei = list(range(k - 1))
+    ej = list(range(1, k))
+    em = [np.linalg.inv(kf_T[i]) @ kf_T[i + 1] for i in range(k - 1)]
+    ew = [1.0] * (k - 1)
+    for e in loops:
+        ei.append(e.a)
+        ej.append(e.b)
+        em.append(e.T_ab)
+        ew.append(loop_weight)
+    edges = PoseGraphEdges(
+        i=jnp.asarray(np.array(ei, np.int32)),
+        j=jnp.asarray(np.array(ej, np.int32)),
+        T_meas=jnp.asarray(np.stack(em).astype(np.float32)),
+        weight=jnp.asarray(np.array(ew, np.float32)),
+    )
+    corrected = optimize_pose_graph(jnp.asarray(poses0), edges, iters=iters)
+    return np.asarray(corrected), loops
+
+
+def reanchor_trajectory(
+    pose_graph,
+    corrected_kf_poses: np.ndarray,
+) -> np.ndarray:
+    """Re-anchor every frame of a VOSystem pose graph to its corrected
+    parent keyframe: T_w_curr = T_w_kf(corrected) @ T_kf_curr
+    (system.h:130-133).  ``pose_graph`` is the list of PoseNode records
+    (each carries ``kf_ordinal``)."""
+    out = []
+    for node in pose_graph:
+        T_kf = corrected_kf_poses[node.kf_ordinal]
+        out.append(T_kf @ node.T_kf_curr)
+    return np.stack(out)

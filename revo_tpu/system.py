@@ -52,6 +52,7 @@ class PoseNode:
     T_w_kf: np.ndarray  # parent keyframe world pose at creation/promotion
     timestamp: float
     is_keyframe: bool = False
+    kf_ordinal: int = 0  # ordinal of the parent keyframe (loop closure)
 
     @property
     def T_w_curr(self) -> np.ndarray:
@@ -126,7 +127,10 @@ class VOSystem:
         self.n_frames = 0
         self.n_keyframes = 0
         self.n_tracking_lost = 0
-        self.kf_history: List[Keyframe] = []  # recent keyframes for reloc
+        # Recent keyframes for relocalization; (ordinal, Keyframe) so a
+        # re-anchored node can point at the right parent (loop closure).
+        self.kf_history: List[tuple] = []
+        self.kf_ordinal_current = 0
         self.dt_times: List[float] = []
         self.tracking_times: List[float] = []
 
@@ -152,7 +156,8 @@ class VOSystem:
         jax.block_until_ready(self.kf.structs)
         self.dt_times.append((time.perf_counter() - t0) * 1000.0)
         self.n_keyframes += 1
-        self.kf_history.append(self.kf)
+        self.kf_ordinal_current = self.n_keyframes - 1
+        self.kf_history.append((self.kf_ordinal_current, self.kf))
         if len(self.kf_history) > self.cfg.tracker.kf_history_size:
             self.kf_history.pop(0)
 
@@ -178,15 +183,15 @@ class VOSystem:
         this is our implementation of the missing recovery path.
         """
         best = None
-        for kf in reversed(self.kf_history):
+        for ordinal, kf in reversed(self.kf_history):
             res = tracker.track_frames(
                 kf, frame, jnp.eye(3), jnp.zeros(3), self.cfg
             )
             if self._is_lost(res):
                 continue
-            if best is None or float(res.error) < float(best[1].error):
-                best = (kf, res)
-        return best if best is not None else (None, None)
+            if best is None or float(res.error) < float(best[2].error):
+                best = (ordinal, kf, res)
+        return best if best is not None else (None, None, None)
 
     # -- main entry ----------------------------------------------------------
 
@@ -207,6 +212,7 @@ class VOSystem:
                 T_w_kf=np.eye(4, dtype=np.float32),
                 timestamp=timestamp,
                 is_keyframe=True,
+                kf_ordinal=self.kf_ordinal_current,
             )
             self.pose_graph.append(node)
             self._push_past(frame, np.eye(4, dtype=np.float32))
@@ -232,9 +238,10 @@ class VOSystem:
         )
 
         if cfg.tracker.enable_relocalization and self._is_lost(res):
-            kf_r, res_r = self._relocalize(frame)
+            ord_r, kf_r, res_r = self._relocalize(frame)
             if kf_r is not None:
                 self.kf = kf_r
+                self.kf_ordinal_current = ord_r
                 res = res_r
                 # Recompute poses against the relocalization anchor; skip
                 # voting this frame (it was computed against the lost pose).
@@ -251,6 +258,7 @@ class VOSystem:
                     @ T_w_curr,
                     T_w_kf=np.asarray(self.kf.T_w_k),
                     timestamp=timestamp,
+                    kf_ordinal=self.kf_ordinal_current,
                 )
                 self.pose_graph.append(node)
                 self.tracking_times.append(
@@ -275,6 +283,7 @@ class VOSystem:
             last = self.pose_graph[-1]
             last.promote_to_keyframe()
             self._make_keyframe(self.prev_frame, last.T_w_kf)
+            last.kf_ordinal = self.kf_ordinal_current
             # clearUpPastLists (tracker.cpp:248-257): the trimmed deque's
             # front becomes the new voting set = newest K pre-promotion
             # frames, frozen until the next promotion.
@@ -295,7 +304,10 @@ class VOSystem:
         self.tracking_times.append((time.perf_counter() - t_start) * 1000.0)
 
         node = PoseNode(
-            T_kf_curr=T_kf_n, T_w_kf=T_w_kf, timestamp=timestamp
+            T_kf_curr=T_kf_n,
+            T_w_kf=T_w_kf,
+            timestamp=timestamp,
+            kf_ordinal=self.kf_ordinal_current,
         )
         self.pose_graph.append(node)
         self._push_past(frame, T_w_curr)
