@@ -18,7 +18,8 @@ import numpy as np
 
 
 def _run_dataset(
-    cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0
+    cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0,
+    close_loops_flag: bool = False,
 ) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
@@ -75,6 +76,8 @@ def _run_dataset(
     pose_file = os.path.join(out_dir, f"poses_{dataset}.txt")
     poses, stamps, report = vo.run(frames(), pose_file=pose_file)
     _print_report(report, pose_file)
+    if close_loops_flag:
+        poses = _maybe_close_loops(vo, poses)
     if gt_file:
         _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir)
 
@@ -134,7 +137,33 @@ def _print_report(report, pose_file) -> None:
         print(f"Poses written to {pose_file}")
 
 
-def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int) -> int:
+
+
+def _maybe_close_loops(vo, poses):
+    """Post-run loop closure over the retained keyframe ring (SLAM upgrade
+    the reference lacks); returns (possibly corrected) poses."""
+    from revo_tpu.loopclosure import close_loops
+
+    if vo.n_keyframes < 3 or len(vo.kf_history) < 3:
+        print("[revo_tpu] loop closure: <3 keyframes retained; skipping")
+        return poses
+    kfs = [kf for _, kf in vo.kf_history]
+    ordinals = [o for o, _ in vo.kf_history]
+    corrected, loops = close_loops(kfs, vo.cfg)
+    if not loops:
+        print("[revo_tpu] loop closure: no verified loop edges")
+        return poses
+    # Map corrected ring poses back to global keyframe ordinals.
+    all_kf = {o: corrected[i] for i, o in enumerate(ordinals)}
+    full = []
+    for node in vo.pose_graph:
+        T_kf = all_kf.get(node.kf_ordinal, node.T_w_kf)
+        full.append(T_kf @ node.T_kf_curr)
+    print(f"[revo_tpu] loop closure: {len(loops)} edge(s) "
+          f"{[(e.a, e.b) for e in loops]}")
+    return np.stack(full)
+
+def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False) -> int:
     from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
     from revo_tpu.io.synthetic import SyntheticScene, render_sequence
     from revo_tpu.system import VOSystem
@@ -153,6 +182,8 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int) -> int:
     pose_file = os.path.join(out_dir, "poses_synthetic.txt")
     poses, _, report = vo.run(frames(), pose_file=pose_file)
     _print_report(report, pose_file)
+    if close_loops_flag:
+        poses = _maybe_close_loops(vo, poses)
     gt_arr = np.stack(gt)
     try:
         from revo_tpu.viz import plot_error, plot_trajectory
@@ -195,6 +226,11 @@ def main(argv=None) -> int:
              "dir) for in-repo ATE/RPE evaluation",
     )
     parser.add_argument(
+        "--close-loops", action="store_true",
+        help="post-run keyframe loop closure over the retained ring "
+             "(revo_tpu.loopclosure; raise KF_HISTORY_SIZE to retain more)",
+    )
+    parser.add_argument(
         "--auto-capacity", type=int, default=0, metavar="N",
         help="calibrate edge-cloud capacities from the first N frames "
              "(TPU shape-bucketing; see revo_tpu.autotune)",
@@ -220,7 +256,10 @@ def main(argv=None) -> int:
             )
             print(f"[revo_tpu] calibrated edge_capacity = "
                   f"{cfg.pyramid.edge_capacity}")
-        return _run_synthetic(cfg, args.synthetic, args.out, args.seed)
+        return _run_synthetic(
+            cfg, args.synthetic, args.out, args.seed,
+            close_loops_flag=args.close_loops,
+        )
 
     if not args.dataset:
         parser.error("either provide dataset yaml or --synthetic N")
@@ -231,6 +270,7 @@ def main(argv=None) -> int:
         _run_dataset(
             cfg, ds, args.out, gt_file=args.gt,
             auto_capacity=args.auto_capacity,
+            close_loops_flag=args.close_loops,
         )
     return 0
 
