@@ -33,6 +33,14 @@ def __getattr__(name):
         "track_frames": ("revo_tpu.tracker", "track_frames"),
         "vo_scan": ("revo_tpu.parallel.batch", "vo_scan"),
         "vo_scan_batched": ("revo_tpu.parallel.batch", "vo_scan_batched"),
+        "track_long_sequence": (
+            "revo_tpu.parallel.segments", "track_long_sequence"
+        ),
+        "pipeline_replay": ("revo_tpu.parallel.pipeline", "pipeline_replay"),
+        "close_loops": ("revo_tpu.loopclosure", "close_loops"),
+        "calibrate_capacities": (
+            "revo_tpu.autotune", "calibrate_capacities"
+        ),
         "absolute_trajectory_error": (
             "revo_tpu.eval", "absolute_trajectory_error"
         ),
@@ -61,6 +69,10 @@ __all__ = [
     "track_frames",
     "vo_scan",
     "vo_scan_batched",
+    "track_long_sequence",
+    "pipeline_replay",
+    "close_loops",
+    "calibrate_capacities",
     "absolute_trajectory_error",
     "relative_pose_error",
     "__version__",
