@@ -206,14 +206,17 @@ def assess_tracking_quality(
     )
     edges = frame.levels[lvl].edges_orig  # returnOrigEdges (tracker.cpp:122)
 
-    histogram = jnp.bincount(
-        m.ravel(), weights=valid_depth.ravel().astype(jnp.float32),
-        length=k + 1,
+    # bincount over K+1 count levels as a dense one-hot contraction:
+    # jnp.bincount lowers to a per-index serial scatter-add on TPU
+    # (~H*W indices/frame); the (H*W, K+1) compare + matmul is exact
+    # (integer counts < 2^24 in f32) and pure VPU/MXU work.
+    levels = jnp.arange(k + 1, dtype=m.dtype)
+    onehot = (m.ravel()[:, None] == levels[None, :]).astype(jnp.float32)
+    histogram = jnp.einsum(
+        "pk,p->k", onehot, valid_depth.ravel().astype(jnp.float32)
     )
-    overlaps = jnp.bincount(
-        m.ravel(),
-        weights=(valid_depth & edges).ravel().astype(jnp.float32),
-        length=k + 1,
+    overlaps = jnp.einsum(
+        "pk,p->k", onehot, (valid_depth & edges).ravel().astype(jnp.float32)
     )
     weights = jnp.asarray(trk.hist_weights, jnp.float32)[: k + 1]
     overlap_measure = jnp.sum(overlaps[1:] * weights[1:])
