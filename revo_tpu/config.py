@@ -182,6 +182,15 @@ class TrackerConfig:
     # points survive), the frame is re-tracked against the recent-keyframe
     # ring from identity and the best result re-anchors tracking.
     enable_relocalization: bool = True
+    # Catastrophic pose-jump gate (improvement over the reference, which
+    # has no failure detection at all): a frame-to-frame motion beyond
+    # these bounds is treated as lost — the residual alone cannot catch a
+    # wrong-basin convergence on repetitive structure (it stays low
+    # there), but a 0.5 m / 0.8 rad jump at 30 fps is not physical for
+    # the handheld/robot regimes this targets.  Recovery = the existing
+    # lost path (relocalization ring, else constant-velocity coasting).
+    max_jump_translation: float = 0.5  # metres per frame
+    max_jump_rotation: float = 0.8  # radians per frame
     reloc_error_threshold: float = 2.0  # mean weighted DT error (px)
     reloc_min_good: int = 100
     kf_history_size: int = 5

@@ -161,6 +161,19 @@ class VOSystem:
         if len(self.kf_history) > self.cfg.tracker.kf_history_size:
             self.kf_history.pop(0)
 
+    def _is_jump(self, T_w_curr: np.ndarray) -> bool:
+        """Catastrophic frame-to-frame motion gate (TrackerConfig
+        max_jump_*): catches wrong-basin convergences whose DT residual
+        stays low (repetitive structure), which _is_lost cannot see."""
+        if not self.pose_graph:
+            return False
+        trk = self.cfg.tracker
+        d = np.linalg.inv(self.pose_graph[-1].T_w_curr) @ T_w_curr
+        if np.linalg.norm(d[:3, 3]) > trk.max_jump_translation:
+            return True
+        cos_a = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        return bool(np.arccos(cos_a) > trk.max_jump_rotation)
+
     def _is_lost(self, res) -> bool:
         """Residual-based failure detector.
 
@@ -237,7 +250,9 @@ class VOSystem:
             cfg.tracker.check_tracking_results,
         )
 
-        if cfg.tracker.enable_relocalization and self._is_lost(res):
+        if cfg.tracker.enable_relocalization and (
+            self._is_lost(res) or self._is_jump(np.asarray(T_w_curr_dev))
+        ):
             ord_r, kf_r, res_r = self._relocalize(frame)
             if kf_r is not None:
                 self.kf = kf_r

@@ -69,3 +69,35 @@ class TestRelocalization:
             vo.process_frame(gray, depth, ts)
         assert vo.n_tracking_lost == 0
         assert len(vo.kf_history) >= 1
+
+
+class TestJumpGate:
+    def test_tight_gate_coasts_not_crashes(self):
+        """With an absurdly tight jump gate every frame is flagged; the
+        system must fall back to relocalization/coasting and survive the
+        sequence (exercises the gate path end-to-end)."""
+        import dataclasses
+
+        import numpy as np
+
+        from revo_tpu.eval import absolute_trajectory_error
+        from test_solver import small_cfg
+        from test_system import run_vo
+
+        cfg = dataclasses.replace(
+            small_cfg(),
+            tracker=dataclasses.replace(
+                small_cfg().tracker, max_jump_translation=1e-6,
+                max_jump_rotation=1e-6,
+            ),
+        )
+        poses, gt, report, _ = run_vo(cfg, 10, seed=4)
+        assert len(poses) == 10
+        assert np.isfinite(poses).all()
+
+    def test_default_gate_never_fires_on_clean_run(self):
+        from test_solver import small_cfg
+        from test_system import run_vo
+
+        poses, gt, report, _ = run_vo(small_cfg(), 15, seed=4)
+        assert report.tracking_lost == 0
