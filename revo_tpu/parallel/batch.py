@@ -121,6 +121,21 @@ def _vo_scan_step(
     T_kf_n = lie.matrix_from_rt(res.R, res.t)
     T_w_curr = kf.T_w_k @ T_kf_n
 
+    # Catastrophic pose-jump gate (host-loop twin: VOSystem._is_jump):
+    # beyond max_jump_* the frame coasts on the constant-velocity prior
+    # instead — a wrong-basin convergence keeps the residual low, so
+    # only the motion itself betrays it.  Branchless where-select.
+    d = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
+    cos_a = jnp.clip((jnp.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+    jump = (
+        jnp.linalg.norm(d[:3, 3]) > cfg.tracker.max_jump_translation
+    ) | (jnp.arccos(cos_a) > cfg.tracker.max_jump_rotation)
+    T_w_coast = state.prev_T_w @ state.T_nm1_n
+    T_w_curr = jnp.where(jump, T_w_coast, T_w_curr)
+    T_kf_n = jnp.where(
+        jump, jnp.linalg.inv(kf.T_w_k) @ T_w_coast, T_kf_n
+    )
+
     # On promotion the voting set freezes to the rolling ring's pre-current
     # contents (reference clearUpPastLists semantics, tracker.cpp:248-257);
     # before the first promotion it accumulates the first K frames.
