@@ -12,6 +12,7 @@ from revo_tpu.viz.ply import (
     export_trajectory_ply,
 )
 from revo_tpu.viz.plot import plot_error, plot_trajectory
+from revo_tpu.viz.debug import reprojection_overlay
 
 __all__ = [
     "export_colored_pcl_ply",
@@ -19,4 +20,5 @@ __all__ = [
     "export_trajectory_ply",
     "plot_error",
     "plot_trajectory",
+    "reprojection_overlay",
 ]

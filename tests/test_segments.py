@@ -134,3 +134,37 @@ class TestPlots:
         plot_error(p2, poses, gt)
         assert os.path.getsize(p1) > 5000
         assert os.path.getsize(p2) > 5000
+
+
+class TestDebugOverlay:
+    def test_reprojection_overlay(self, tmp_path):
+        """The DO_SHOW_DEBUG_IMAGE equivalent: warped edge points splat
+        onto the keyframe gray, colored by DT residual; near-identity
+        tracking must land mostly green (low residual)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from revo_tpu.frontend import build_frame, make_keyframe
+        from revo_tpu.io.synthetic import SyntheticScene, render_frame
+        from revo_tpu.viz import reprojection_overlay
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        g, d = render_frame(scene, cfg.camera, np.eye(4, dtype=np.float32))
+        f = build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+        kf = make_keyframe(f, jnp.eye(4), cfg)
+        png = str(tmp_path / "overlay.png")
+        img = reprojection_overlay(
+            kf, f, np.eye(3), np.zeros(3), cfg, out_png=png
+        )
+        assert img.shape == (cfg.camera.height, cfg.camera.width, 3)
+        # Identity warp of the same frame lands exactly on edges: the
+        # drawn pixels must be dominantly green (residual ~0).
+        drawn = img[..., 2] == 0
+        drawn &= img[..., 1] > 0
+        assert drawn.sum() > 100
+        assert (img[drawn][:, 1] > 200).mean() > 0.9
+        import os
+
+        assert os.path.exists(png)
