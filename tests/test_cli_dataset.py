@@ -85,3 +85,28 @@ def test_dataset_cli_roundtrip(tmp_path, capsys):
     assert m, out
     assert float(m.group(1)) < 2.0, out
     assert os.path.exists(tmp_path / "out" / "poses_synth_seq.txt")
+
+
+@pytest.mark.parametrize(
+    "ds",
+    [
+        "dataset_tum1.yaml",
+        "orbbec_dataset.yaml",
+        "orbbec_normal.yaml",
+        "orbbec_pro.yaml",
+        "realsense.yaml",
+    ],
+)
+def test_every_reference_config_parses(ds):
+    """The FileStorage-dialect loader must accept ALL config files the
+    reference ships (sensor configs included), not just the TUM pair."""
+    if not os.path.exists("/root/reference/config"):
+        pytest.skip("reference tree not mounted")
+    from revo_tpu.config import load_config
+
+    cfg = load_config(
+        "/root/reference/config/revo_settings.yaml",
+        f"/root/reference/config/{ds}",
+    )
+    assert cfg.camera.width == 640 and cfg.camera.height == 480
+    assert cfg.dataset.depth_scale_factor in (1000.0, 5000.0)
