@@ -211,6 +211,70 @@ def adjoint_se3(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def hat_se3(xi: jax.Array) -> jax.Array:
+    """4x4 matrix form of a twist (se3.hpp ``SE3::hat``).
+
+    With xi = [upsilon, omega]: [[hat(omega), upsilon], [0, 0]].
+    """
+    W = hat_so3(xi[..., 3:])
+    top = jnp.concatenate([W, xi[..., :3, None]], axis=-1)
+    bottom = jnp.zeros(top.shape[:-2] + (1, 4), dtype=xi.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def vee_se3(X: jax.Array) -> jax.Array:
+    """Inverse of :func:`hat_se3` (se3.hpp ``SE3::vee``)."""
+    return jnp.concatenate([X[..., :3, 3], vee_so3(X[..., :3, :3])], axis=-1)
+
+
+def lie_bracket_so3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """so(3) Lie bracket [a, b] = a x b (so3.hpp ``SO3::lieBracket``)."""
+    return jnp.cross(a, b)
+
+
+def lie_bracket_se3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """se(3) Lie bracket (se3.hpp ``SE3::lieBracket``):
+
+    [a, b] = [omega_a x ups_b + ups_a x omega_b, omega_a x omega_b]
+    (equals vee(hat(a) hat(b) - hat(b) hat(a)), the property the Sophus
+    suite checks, tests.hpp lieBracketTest).
+    """
+    ups_a, om_a = a[..., :3], a[..., 3:]
+    ups_b, om_b = b[..., :3], b[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(om_a, ups_b) + jnp.cross(ups_a, om_b),
+         jnp.cross(om_a, om_b)],
+        axis=-1,
+    )
+
+
+def interpolate_se3(Ra, ta, Rb, tb, alpha):
+    """Geodesic interpolation foo * exp(alpha * log(foo^-1 * bar))
+    (sophus/interpolate.hpp:28-38).  alpha may be batched."""
+    Ri, ti = inverse(Ra, ta)
+    xi = log_se3(*compose(Ri, ti, Rb, tb))
+    dR, dt = exp_se3(jnp.asarray(alpha)[..., None] * xi)
+    return compose(Ra, ta, dR, dt)
+
+
+def average_se3(R: jax.Array, t: jax.Array, iters: int = 20):
+    """Iterative bi-invariant mean of a set of poses (sophus/average.hpp
+    ``iterativeMean``): X <- X * exp(mean_i log(X^-1 * T_i)), fixed
+    iteration count for jit friendliness (Sophus runs max 20).
+
+    R: (N, 3, 3), t: (N, 3).  Returns (R_mean, t_mean).
+    """
+
+    def body(_, Xt):
+        Rm, tm = Xt
+        Ri, ti = inverse(Rm, tm)
+        xi = log_se3(*compose(Ri[None], ti[None], R, t)).mean(axis=0)
+        dR, dt = exp_se3(xi)
+        return compose(Rm, tm, dR, dt)
+
+    return jax.lax.fori_loop(0, iters, body, (R[0], t[0]))
+
+
 def matrix_from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
     """4x4 homogeneous matrix from (R, t) (system.h transformFromRT :181-187)."""
     batch = jnp.broadcast_shapes(R.shape[:-2], t.shape[:-1])
