@@ -194,6 +194,14 @@ class TrackerConfig:
     reloc_error_threshold: float = 2.0  # mean weighted DT error (px)
     reloc_min_good: int = 100
     kf_history_size: int = 5
+    # Ring relocalization inside the device-resident scan twin
+    # (parallel/batch.py).  Default OFF: under plain vmap both lax.cond
+    # branches execute every step, so an always-on reloc branch would cost
+    # kf_history_size extra tracks per frame in the batched-throughput
+    # path.  Enable for shard_map-per-device runs (cond stays a real
+    # branch there — zero cost on healthy frames) or host-loop-parity
+    # robustness runs.
+    scan_relocalization: bool = False
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 
 

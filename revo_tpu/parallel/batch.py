@@ -38,6 +38,10 @@ class ScanVOState(NamedTuple):
     T_nm1_n: jax.Array  # (4, 4) frame-to-frame motion prior
     just_added_kf: jax.Array  # () bool
     n_keyframes: jax.Array  # () int32
+    # Recent-keyframe ring for in-scan relocalization (None unless
+    # cfg.tracker.scan_relocalization — the carry structure is fixed per
+    # trace since cfg is static).
+    kf_ring: "tracker.KeyframeRing | None" = None
 
 
 class ScanVOOutput(NamedTuple):
@@ -45,6 +49,8 @@ class ScanVOOutput(NamedTuple):
     error: jax.Array  # () tracking error
     good: jax.Array  # () int32
     promoted: jax.Array  # () bool: this frame triggered a promotion
+    relocalized: jax.Array = None  # () bool: ring reloc re-anchored this frame
+    lost: jax.Array = None  # () bool: frame coasted on the motion prior
 
 
 def _tie_to_input(tree, zero: jax.Array):
@@ -71,6 +77,11 @@ def _init_state(frame0: Frame, cfg: SystemConfig) -> ScanVOState:
     )
     cl = frame0.levels[lvl].cloud
     past = tracker.push_past(past, cl.points, cl.valid, eye4)
+    ring = (
+        tracker.ring_from_keyframe(kf, cfg.tracker.kf_history_size)
+        if cfg.tracker.scan_relocalization
+        else None
+    )
     return ScanVOState(
         kf=kf,
         prev=frame0,
@@ -82,6 +93,7 @@ def _init_state(frame0: Frame, cfg: SystemConfig) -> ScanVOState:
         T_nm1_n=eye4,
         just_added_kf=jnp.array(True),
         n_keyframes=jnp.int32(1),
+        kf_ring=ring,
     )
 
 
@@ -101,7 +113,69 @@ def _vo_scan_step(
         )
     else:
         new_kf = jnp.array(False)
-    promote = new_kf & ~state.just_added_kf
+
+    trk = cfg.tracker
+    # Catastrophic pose-jump gate (host-loop twin: VOSystem._is_jump),
+    # evaluated on the INITIAL track like the host loop: a wrong-basin
+    # convergence keeps the residual low, so only the motion betrays it.
+    d = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
+    cos_a = jnp.clip((jnp.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+    jump = (jnp.linalg.norm(d[:3, 3]) > trk.max_jump_translation) | (
+        jnp.arccos(cos_a) > trk.max_jump_rotation
+    )
+    T_w_coast = state.prev_T_w @ state.T_nm1_n
+
+    if cfg.tracker.scan_relocalization:
+        # Host-loop order (VOSystem.process_frame): a lost/jumped frame
+        # attempts ring relocalization BEFORE any promotion logic; a lost
+        # frame never promotes.
+        lost = (
+            jump
+            | (res.error > trk.reloc_error_threshold)
+            | (res.good < trk.reloc_min_good)
+        )
+
+        def do_reloc(op):
+            ring_, frame_, kf_ = op
+            res_all = tracker.track_ring(ring_, frame_, cfg)
+            found_, idx, sel_ = tracker.select_reloc_candidate(
+                res_all, ring_.n, cfg
+            )
+            kf_r = Keyframe(
+                structs=tuple(s[idx] for s in ring_.structs),
+                quads=tuple(q[idx] for q in ring_.quads),
+                frame=kf_.frame,  # stale; tracking never reads kf.frame
+                T_w_k=ring_.T_w_k[idx],
+            )
+            kf_r = jax.tree.map(
+                lambda a, b: jnp.where(found_, a, b), kf_r, kf_
+            )
+            return found_, sel_, kf_r
+
+        def no_reloc(op):
+            ring_, frame_, kf_ = op
+            dummy = tracker.TrackResult(
+                R=jnp.eye(3),
+                t=jnp.zeros(3),
+                error=jnp.float32(jnp.inf),
+                good=jnp.int32(0),
+                bad=jnp.int32(0),
+                new_kf=jnp.array(False),
+            )
+            return jnp.array(False), dummy, kf_
+
+        found, sel, kf_reloc = jax.lax.cond(
+            lost, do_reloc, no_reloc, (state.kf_ring, frame, state.kf)
+        )
+        still_lost = lost & ~found
+    else:
+        lost = jump
+        found = jnp.array(False)
+        still_lost = jump
+        sel = res  # unused when found is statically False
+        kf_reloc = state.kf
+
+    promote = new_kf & ~state.just_added_kf & ~lost
 
     def promoted_branch(op):
         state_, frame_, res_ = op
@@ -109,31 +183,33 @@ def _vo_scan_step(
         R0 = state_.T_nm1_n[:3, :3]
         t0 = state_.T_nm1_n[:3, 3]
         res2 = tracker.track_frames(kf_new, frame_, R0, t0, cfg)
-        return kf_new, res2
+        ring = (
+            tracker.push_ring(state_.kf_ring, kf_new, state_.prev_T_w)
+            if cfg.tracker.scan_relocalization
+            else None
+        )
+        return kf_new, res2, ring
 
     def normal_branch(op):
         state_, frame_, res_ = op
-        return state_.kf, res_
+        return state_.kf, res_, state_.kf_ring
 
-    kf, res = jax.lax.cond(
+    kf, res, kf_ring = jax.lax.cond(
         promote, promoted_branch, normal_branch, (state, frame, res)
     )
     T_kf_n = lie.matrix_from_rt(res.R, res.t)
     T_w_curr = kf.T_w_k @ T_kf_n
 
-    # Catastrophic pose-jump gate (host-loop twin: VOSystem._is_jump):
-    # beyond max_jump_* the frame coasts on the constant-velocity prior
-    # instead — a wrong-basin convergence keeps the residual low, so
-    # only the motion itself betrays it.  Branchless where-select.
-    d = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
-    cos_a = jnp.clip((jnp.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
-    jump = (
-        jnp.linalg.norm(d[:3, 3]) > cfg.tracker.max_jump_translation
-    ) | (jnp.arccos(cos_a) > cfg.tracker.max_jump_rotation)
-    T_w_coast = state.prev_T_w @ state.T_nm1_n
-    T_w_curr = jnp.where(jump, T_w_coast, T_w_curr)
+    # Merge the three outcomes: relocalized > coasting > tracked.
+    if cfg.tracker.scan_relocalization:
+        kf = jax.tree.map(lambda a, b: jnp.where(found, a, b), kf_reloc, kf)
+        T_kf_n_r = lie.matrix_from_rt(sel.R, sel.t)
+        T_kf_n = jnp.where(found, T_kf_n_r, T_kf_n)
+        T_w_curr = jnp.where(found, kf_reloc.T_w_k @ T_kf_n_r, T_w_curr)
+        res = jax.tree.map(lambda a, b: jnp.where(found, a, b), sel, res)
+    T_w_curr = jnp.where(still_lost, T_w_coast, T_w_curr)
     T_kf_n = jnp.where(
-        jump, jnp.linalg.inv(kf.T_w_k) @ T_w_coast, T_kf_n
+        still_lost, jnp.linalg.inv(kf.T_w_k) @ T_w_coast, T_kf_n
     )
 
     # On promotion the voting set freezes to the rolling ring's pre-current
@@ -151,10 +227,27 @@ def _vo_scan_step(
     voting = jax.tree.map(
         lambda a, b: jnp.where(fill_voting, a, b), voting_pushed, voting
     )
+    # A still-lost frame contributes nothing to the rings (host loop
+    # returns early before _push_past).
+    past = jax.tree.map(
+        lambda a, b: jnp.where(still_lost, a, b), state.past, past
+    )
+    voting = jax.tree.map(
+        lambda a, b: jnp.where(still_lost, a, b), state.past_voting, voting
+    )
 
-    # Motion prior (system.cpp:267-271).
+    # Motion prior (system.cpp:267-271).  On a coasted frame
+    # T_w_curr = prev_T_w @ T_nm1_n, so the prior is unchanged — constant
+    # velocity persists exactly like the host loop's early return.
     T_nm1_n = jnp.linalg.inv(state.prev_T_w) @ T_w_curr
     T_init = T_kf_n @ T_nm1_n
+
+    if cfg.init_from_last_pose:
+        # Host early return leaves R/t untouched on a still-lost frame.
+        R_next = jnp.where(still_lost, state.R, T_init[:3, :3])
+        t_next = jnp.where(still_lost, state.t, T_init[:3, 3])
+    else:
+        R_next, t_next = jnp.eye(3), jnp.zeros(3)
 
     new_state = ScanVOState(
         kf=kf,
@@ -162,14 +255,20 @@ def _vo_scan_step(
         prev_T_w=T_w_curr,
         past=past,
         past_voting=voting,
-        R=T_init[:3, :3] if cfg.init_from_last_pose else jnp.eye(3),
-        t=T_init[:3, 3] if cfg.init_from_last_pose else jnp.zeros(3),
+        R=R_next,
+        t=t_next,
         T_nm1_n=T_nm1_n,
         just_added_kf=promote,
         n_keyframes=state.n_keyframes + promote.astype(jnp.int32),
+        kf_ring=kf_ring,
     )
     out = ScanVOOutput(
-        T_w=T_w_curr, error=res.error, good=res.good, promoted=promote
+        T_w=T_w_curr,
+        error=res.error,
+        good=res.good,
+        promoted=promote,
+        relocalized=found,
+        lost=still_lost,
     )
     return new_state, out
 
@@ -199,6 +298,8 @@ def vo_scan(
         promoted=jnp.concatenate(
             [jnp.zeros(1, bool), outs.promoted]
         ),
+        relocalized=jnp.concatenate([jnp.zeros(1, bool), outs.relocalized]),
+        lost=jnp.concatenate([jnp.zeros(1, bool), outs.lost]),
     )
     return poses, outs_full, final_state
 

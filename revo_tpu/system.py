@@ -130,6 +130,10 @@ class VOSystem:
         # Recent keyframes for relocalization; (ordinal, Keyframe) so a
         # re-anchored node can point at the right parent (loop closure).
         self.kf_history: List[tuple] = []
+        # Device-resident twin of kf_history (stacked structs/quads/poses)
+        # so relocalization is ONE vmapped dispatch; slot i (newest-first)
+        # maps to kf_history[-1 - i].
+        self.reloc_ring: Optional[tracker.KeyframeRing] = None
         self.kf_ordinal_current = 0
         self.dt_times: List[float] = []
         self.tracking_times: List[float] = []
@@ -160,6 +164,15 @@ class VOSystem:
         self.kf_history.append((self.kf_ordinal_current, self.kf))
         if len(self.kf_history) > self.cfg.tracker.kf_history_size:
             self.kf_history.pop(0)
+        if self.cfg.tracker.enable_relocalization:
+            if self.reloc_ring is None:
+                self.reloc_ring = tracker.ring_from_keyframe(
+                    self.kf, self.cfg.tracker.kf_history_size
+                )
+            else:
+                self.reloc_ring = tracker.push_ring(
+                    self.reloc_ring, self.kf, jnp.asarray(T_w_k)
+                )
 
     def _is_jump(self, T_w_curr: np.ndarray) -> bool:
         """Catastrophic frame-to-frame motion gate (TrackerConfig
@@ -190,21 +203,25 @@ class VOSystem:
 
     def _relocalize(self, frame: Frame):
         """Track against the recent-keyframe ring from identity; return
-        (keyframe, result) of the best candidate or (None, None).
+        (ordinal, keyframe, result) of the best candidate or Nones.
 
         The reference's TRACKER_STATE_LOST dead-ends (tracker.h:62-65);
-        this is our implementation of the missing recovery path.
+        this is our implementation of the missing recovery path.  The
+        candidate search is ONE vmapped device dispatch over the stacked
+        ring (tracker.track_ring) — not a host loop — with the best
+        admissible candidate (lowest error, ties to newest) selected on
+        device.
         """
-        best = None
-        for ordinal, kf in reversed(self.kf_history):
-            res = tracker.track_frames(
-                kf, frame, jnp.eye(3), jnp.zeros(3), self.cfg
-            )
-            if self._is_lost(res):
-                continue
-            if best is None or float(res.error) < float(best[2].error):
-                best = (ordinal, kf, res)
-        return best if best is not None else (None, None, None)
+        if self.reloc_ring is None:
+            return (None, None, None)
+        res_all = tracker.track_ring(self.reloc_ring, frame, self.cfg)
+        found, idx, sel = tracker.select_reloc_candidate(
+            res_all, self.reloc_ring.n, self.cfg
+        )
+        if not bool(found):
+            return (None, None, None)
+        ordinal, kf = self.kf_history[len(self.kf_history) - 1 - int(idx)]
+        return ordinal, kf, sel
 
     # -- main entry ----------------------------------------------------------
 

@@ -150,6 +150,94 @@ def push_past(past: PastFrames, points, valid, pose_w) -> PastFrames:
     )
 
 
+class KeyframeRing(NamedTuple):
+    """Fixed-capacity device ring of recent keyframes' tracking state.
+
+    Device-resident twin of VOSystem.kf_history holding only what tracking
+    needs (DT structs, packed quad tables, world poses) so the whole
+    relocalization candidate search runs as ONE vmapped dispatch instead of
+    a serial host loop over the ring (the reference's TRACKER_STATE_LOST
+    dead-ends with no search at all, tracker.h:62-65).
+
+    Slot 0 is the NEWEST keyframe.  With candidates ordered newest-first,
+    ``argmin`` over scores reproduces the serial search's tie-break (iterate
+    newest->oldest, keep strictly-better error).
+    """
+
+    structs: Tuple[jax.Array, ...]  # per level (K, H, W, 3)
+    quads: Tuple[jax.Array, ...]  # per level (K, ...) packed quad tables
+    T_w_k: jax.Array  # (K, 4, 4) keyframe-to-world poses
+    n: jax.Array  # () int32 number of valid slots
+
+
+def ring_from_keyframe(kf: Keyframe, k: int) -> KeyframeRing:
+    """Initial ring: slot 0 holds ``kf``; the rest are inactive copies
+    (tiled so every slot has real shape — masked out via ``n``)."""
+    return KeyframeRing(
+        structs=tuple(jnp.tile(s[None], (k,) + (1,) * s.ndim) for s in kf.structs),
+        quads=tuple(jnp.tile(q[None], (k,) + (1,) * q.ndim) for q in kf.quads),
+        T_w_k=jnp.tile(jnp.asarray(kf.T_w_k, jnp.float32)[None], (k, 1, 1)),
+        n=jnp.int32(1),
+    )
+
+
+@jax.jit
+def push_ring(ring: KeyframeRing, kf: Keyframe, T_w_k: jax.Array) -> KeyframeRing:
+    """Push a newly promoted keyframe into slot 0 (oldest falls off)."""
+
+    def push(arr, new):
+        return jnp.roll(arr, 1, axis=0).at[0].set(new)
+
+    return KeyframeRing(
+        structs=tuple(push(a, s) for a, s in zip(ring.structs, kf.structs)),
+        quads=tuple(push(a, q) for a, q in zip(ring.quads, kf.quads)),
+        T_w_k=push(ring.T_w_k, jnp.asarray(T_w_k, jnp.float32)),
+        n=jnp.minimum(ring.n + 1, ring.T_w_k.shape[0]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_ring(ring: KeyframeRing, frame: Frame, cfg: SystemConfig) -> TrackResult:
+    """Track ``frame`` against EVERY ring keyframe from identity in one
+    vmapped dispatch — the batched relocalization candidate search.
+
+    Returns a TrackResult whose leading axis is the candidate slot
+    (newest-first).  One dispatch + one sync replaces the O(ring) host
+    round trips of a serial candidate loop.
+    """
+
+    def one(structs, quads):
+        kf = Keyframe(structs=structs, quads=quads, frame=frame, T_w_k=jnp.eye(4))
+        return track_frames(kf, frame, jnp.eye(3), jnp.zeros(3), cfg)
+
+    return jax.vmap(one)(ring.structs, ring.quads)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def select_reloc_candidate(res_all: TrackResult, ring_n: jax.Array, cfg: SystemConfig):
+    """Pick the best relocalization candidate on device.
+
+    A candidate is admissible iff its slot is active and it passes the
+    lost-detector thresholds (reloc_error_threshold / reloc_min_good).
+    Returns (found () bool, idx () int32, selected TrackResult) — idx
+    indexes the ring newest-first; ties prefer the newest (argmin's first
+    -occurrence rule on the newest-first ordering).
+    """
+    trk = cfg.tracker
+    k = res_all.error.shape[0]
+    active = jnp.arange(k) < ring_n
+    bad = (
+        (res_all.error > trk.reloc_error_threshold)
+        | (res_all.good < trk.reloc_min_good)
+        | ~active
+    )
+    score = jnp.where(bad, jnp.inf, res_all.error)
+    idx = jnp.argmin(score)
+    found = jnp.isfinite(score[idx])
+    sel = jax.tree.map(lambda x: x[idx], res_all)
+    return found, idx, sel
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def assess_tracking_quality(
     past: PastFrames,

@@ -101,3 +101,97 @@ class TestJumpGate:
 
         poses, gt, report, _ = run_vo(small_cfg(), 15, seed=4)
         assert report.tracking_lost == 0
+
+
+class TestScanRelocalization:
+    """The device-resident scan twin's ring-reloc branch (parallel/batch.py
+    with TrackerConfig.scan_relocalization): the whole recovery path — lost
+    detection, vmapped ring candidate search, re-anchoring — runs inside
+    lax.scan with zero host round trips."""
+
+    def _reloc_cfg(self):
+        cfg = small_cfg()
+        # Tighten the jump gate so an in-sequence teleport (a few cm on the
+        # synthetic scene) is flagged while normal ~0.8 cm/frame motion is
+        # not.
+        return dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(
+                cfg.tracker,
+                scan_relocalization=True,
+                max_jump_translation=0.04,
+            ),
+        )
+
+    def test_scan_teleport_recovers_via_ring(self):
+        import jax.numpy as jnp
+
+        from revo_tpu.parallel.batch import vo_scan
+
+        cfg = self._reloc_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 12, seed=11))
+        grays = [f[0] for f in frames]
+        depths = [f[1] for f in frames]
+        # Teleport: jump back to frame 0's view mid-sequence, then stay.
+        g0, d0 = render_frame(scene, cfg.camera, frames[0][2])
+        grays += [g0, g0]
+        depths += [d0, d0]
+        poses, outs, _ = vo_scan(
+            jnp.asarray(np.stack(grays)), jnp.asarray(np.stack(depths)), cfg
+        )
+        poses = np.asarray(poses)
+        assert bool(np.asarray(outs.relocalized)[12]), "teleport frame must relocalize"
+        err = np.linalg.norm(poses[12, :3, 3] - frames[0][2][:3, 3])
+        assert err < 0.02, f"teleport pose error {err:.3f} m"
+        # the sequence continues tracking after re-anchoring
+        assert np.isfinite(poses).all()
+
+    def test_scan_matches_host_loop_on_teleport(self):
+        """Scan twin and host loop take the same recovery decisions on the
+        same teleport sequence (reloc fires at the same frame, poses agree)."""
+        import jax.numpy as jnp
+
+        from revo_tpu.parallel.batch import vo_scan
+
+        cfg = self._reloc_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 10, seed=7))
+        g0, d0 = render_frame(scene, cfg.camera, frames[0][2])
+        grays = [f[0] for f in frames] + [g0]
+        depths = [f[1] for f in frames] + [d0]
+
+        vo = VOSystem(cfg)
+        host_poses = [
+            vo.process_frame(g, d, i / 30.0)
+            for i, (g, d) in enumerate(zip(grays, depths))
+        ]
+        scan_poses, outs, _ = vo_scan(
+            jnp.asarray(np.stack(grays)), jnp.asarray(np.stack(depths)), cfg
+        )
+        diff = np.abs(np.asarray(scan_poses) - np.stack(host_poses)).max()
+        assert diff < 5e-3, f"scan vs host pose diff {diff:.4f}"
+
+    def test_scan_unrecoverable_coasts(self):
+        """A garbage frame fails ring relocalization and coasts on the
+        constant-velocity prior inside the scan."""
+        import jax.numpy as jnp
+
+        from revo_tpu.parallel.batch import vo_scan
+
+        cfg = self._reloc_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 6, seed=12))
+        flat = np.full((cfg.camera.height, cfg.camera.width), 128.0, np.float32)
+        nodepth = np.zeros_like(flat)
+        grays = [f[0] for f in frames] + [flat]
+        depths = [f[1] for f in frames] + [nodepth]
+        poses, outs, _ = vo_scan(
+            jnp.asarray(np.stack(grays)), jnp.asarray(np.stack(depths)), cfg
+        )
+        poses = np.asarray(poses)
+        assert bool(np.asarray(outs.lost)[6])
+        assert not bool(np.asarray(outs.relocalized)[6])
+        assert np.isfinite(poses).all()
+        # coasting: last pose = prev pose advanced by the motion prior
+        assert np.linalg.norm(poses[6, :3, 3] - poses[5, :3, 3]) < 0.05
