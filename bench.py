@@ -304,12 +304,19 @@ def _cpu_oracle_fps(cfg, grays, depths) -> float:
 
     kf_levels = build(grays[0], depths[0])
     structs = make_kf(kf_levels)
-    n = min(4, len(grays) - 1)
-    t0 = time.perf_counter()
+    n = min(6, len(grays) - 1)
+    # Per-frame MIN time: the oracle thread shares the host (and the GIL)
+    # with the TPU-driving main thread, and contention only ever slows it
+    # down — the fastest single frame is the honest uncontended per-core
+    # speed (total-wall timing here measured anywhere from 0.19 to 2.8 fps
+    # for the same work depending on what the main thread was compiling).
+    best = np.inf
     for i in range(1, 1 + n):
+        t0 = time.perf_counter()
         levels = build(grays[i], depths[i])
         track(structs, levels)
-    return n / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
 
 
 def main():

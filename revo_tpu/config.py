@@ -122,8 +122,14 @@ class OptimizerConfig:
     # keyframe's packed (H, W, 12) 2x2-neighborhood table — the row-gather
     # cost is per-index overhead, not bytes, so packing quarters it;
     # measured 12.6 -> 10.7 ms/step on v5e, ab_track), "take4" (four row
-    # takes), "taps"/"window"/"pair" (lax.gather slice forms).
-    bilinear_impl: str = "quad"
+    # takes), "taps"/"window"/"pair" (lax.gather slice forms); "quad_lf"
+    # routes the same quad sample through the lane-fold custom_vmap take
+    # (interp._take_rows_lanefold) — bit-identical to "quad" (gated in
+    # test_ops), neutral single-seq (3.58 vs 3.54 ms/step), and the
+    # measured winner for the BATCHED emitter (ab_batch B=8 re-
+    # adjudication on the fixed use_quad gate: lf 12.7 ms/batched-step
+    # vs quad 17.4, fr 14.8, ob 17.6, lf12 58.5).
+    bilinear_impl: str = "quad_lf"
     # Storage layout of the packed quad table (ops.edt.quad_structure):
     # "hw12" (H, W, 12), "flat" (H*W, 12), "t" (12, H*W), "flat16"
     # (H*W, 16) padded, "flatbf" (H*W, 12) bfloat16, "dt4"/"dt4bf"

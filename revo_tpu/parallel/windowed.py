@@ -154,16 +154,22 @@ def _accumulate_pairs(
     return H, b, errs.sum()
 
 
-def _gn_update(poses, H, b, n_frames, damping):
+def _window_step(poses, H, b, n_frames, lam):
+    """Damped joint step: returns (updated poses, stacked tangent xi).
+
+    Gauge freedom is removed by fixing frame 0 (its rows/cols are masked
+    and its diagonal pinned), matching standard pose-graph gauge fixing.
+    """
     Hd = H.transpose(0, 2, 1, 3).reshape(6 * n_frames, 6 * n_frames)
     bd = b.reshape(6 * n_frames)
     mask = jnp.ones(6 * n_frames).at[:6].set(0.0)  # gauge: fix frame 0
     Hd = Hd * mask[:, None] * mask[None, :]
     # Multiplicative LM damping (A_ii *= 1 + lambda, like the tracker,
-    # optimizer.cpp:261) — plain GN overshoots on the nonconvex DT surface.
+    # optimizer.cpp:261-262) — plain GN overshoots on the nonconvex DT
+    # surface.
     diag = jnp.diag(Hd)
     Hd = Hd + jnp.diag(
-        jnp.where(mask > 0, diag * damping + 1e-9, 1.0)
+        jnp.where(mask > 0, diag * lam + 1e-9, 1.0)
     )
     bd = bd * mask
     # The tracker's sign convention: g accumulates +J^T w r and the update
@@ -171,7 +177,86 @@ def _gn_update(poses, H, b, n_frames, damping):
     xi = jnp.linalg.solve(Hd, bd).reshape(n_frames, 6)
     xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
     dR, dt = lie.exp_se3(xi)
-    return lie.matrix_from_rt(dR, dt) @ poses
+    return lie.matrix_from_rt(dR, dt) @ poses, xi
+
+
+class _WinLMState(NamedTuple):
+    poses: jax.Array  # (W, 4, 4) last ACCEPTED poses
+    H: jax.Array  # system at last accepted poses
+    b: jax.Array
+    err: jax.Array  # () error at last accepted poses
+    lam: jax.Array  # () LM damping
+    inc_try: jax.Array  # () int32 consecutive rejects
+    k: jax.Array  # () int32 iteration
+    done: jax.Array  # () bool
+
+
+def _lm_window(
+    poses0,
+    accumulate,
+    n_frames: int,
+    iters: int,
+    lam0: float,
+    success_fac: float = 0.5,
+    fail_fac: float = 2.0,
+    conv_eps: float = 0.999,
+    step_min: float = 1e-16,
+):
+    """Accept/reject LM over the window (the tracker's schedule,
+    optimizer.cpp:250-307, applied to the joint 6W-dof system): a step is
+    kept only if the total windowed error drops; rejected steps restore the
+    last accepted poses and re-solve the SAME system with escalated damping
+    (lambda * failFac^try).  Exits on relative improvement > conv_eps, a
+    sub-step_min rejected step, or ``iters`` evaluations.
+
+    ``accumulate(poses) -> (H, b, err)`` abstracts the residual pass so the
+    sharded path can wrap it in psum and share this exact loop.
+    """
+    H0, b0, e0 = accumulate(poses0)
+    fzero = e0 * 0.0  # input-derived zeros: shard_map-safe carries
+    izero = fzero.astype(jnp.int32)
+    st0 = _WinLMState(
+        poses=poses0,
+        H=H0,
+        b=b0,
+        err=e0,
+        lam=fzero + lam0,
+        inc_try=izero,
+        k=izero,
+        done=e0 < -jnp.inf,
+    )
+
+    def cond(st: _WinLMState):
+        return (st.k < iters) & ~st.done
+
+    def body(st: _WinLMState):
+        poses_new, xi = _window_step(st.poses, st.H, st.b, n_frames, st.lam)
+        Hn, bn, en = accumulate(poses_new)
+        accept = en < st.err
+        converged = accept & (
+            en / jnp.maximum(st.err, 1e-30) > conv_eps
+        )
+        small_step = (~accept) & ~(jnp.sum(xi * xi) > step_min)
+        lam_acc = jnp.where(st.lam <= 0.2, 0.0, st.lam * success_fac)
+        lam_rej = jnp.where(
+            st.lam == 0.0,
+            0.2,
+            st.lam * fail_fac ** (st.inc_try + 1).astype(jnp.float32),
+        )
+        sel = lambda a, b_: jnp.where(accept, a, b_)
+        return _WinLMState(
+            poses=sel(poses_new, st.poses),
+            H=sel(Hn, st.H),
+            b=sel(bn, st.b),
+            err=sel(en, st.err),
+            lam=sel(lam_acc, lam_rej),
+            inc_try=jnp.where(accept, izero, st.inc_try + 1),
+            k=st.k + 1,
+            done=converged | small_step,
+        )
+
+    st = jax.lax.while_loop(cond, body, st0)
+    return st.poses, st.err
 
 
 def make_pairs(n_frames: int, radius: int = 2):
@@ -203,22 +288,20 @@ def optimize_window(
     iters: int = 10,
     damping: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Joint GN over the window; returns (refined poses, final error)."""
+    """Joint LM over the window; returns (refined poses, final error).
+
+    ``iters`` bounds the number of error evaluations; ``damping`` is the
+    INITIAL lambda of the accept/reject schedule (see _lm_window).
+    """
     n_frames = window.poses.shape[0]
 
-    def body(_, carry):
-        poses, _ = carry
+    def accumulate(poses):
         win = window._replace(poses=poses)
-        H, b, err = _accumulate_pairs(
+        return _accumulate_pairs(
             win, pair_i, pair_j, pair_w, cam, opt, lvl, n_frames
         )
-        poses = _gn_update(poses, H, b, n_frames, damping)
-        return poses, err
 
-    poses, err = jax.lax.fori_loop(
-        0, iters, body, (window.poses, jnp.float32(0.0))
-    )
-    return poses, err
+    return _lm_window(window.poses, accumulate, n_frames, iters, damping)
 
 
 def optimize_window_sharded(
@@ -252,15 +335,58 @@ def optimize_window_sharded(
         out_specs=P(),
     )
     def run(win, pi_l, pj_l, pw_l):
-        def body(_, poses):
+        def accumulate(poses):
             w = win._replace(poses=poses)
-            H, b, _ = _accumulate_pairs(
+            H, b, err = _accumulate_pairs(
                 w, pi_l, pj_l, pw_l, cam, opt, lvl, n_frames
             )
-            H = jax.lax.psum(H, axis)
-            b = jax.lax.psum(b, axis)
-            return _gn_update(poses, H, b, n_frames, damping)
+            # Reduce the block systems across the pair shards; every device
+            # then takes identical accept/reject decisions in _lm_window.
+            return (
+                jax.lax.psum(H, axis),
+                jax.lax.psum(b, axis),
+                jax.lax.psum(err, axis),
+            )
 
-        return jax.lax.fori_loop(0, iters, body, win.poses)
+        poses, _ = _lm_window(win.poses, accumulate, n_frames, iters, damping)
+        return poses
 
     return jax.jit(run)(window, pi, pj, pw)
+
+
+def optimize_window_pyramid(
+    windows,
+    pair_i: jax.Array,
+    pair_j: jax.Array,
+    pair_w: jax.Array,
+    cams,
+    opt: OptimizerConfig,
+    iters_per_lvl=(6, 6, 10),
+    damping: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Coarse-to-fine windowed optimization.
+
+    ``windows[lvl]``/``cams[lvl]`` index pyramid levels (0 = finest, like
+    the tracker); optimization runs from the COARSEST level down to level
+    0, each level starting from the previous level's refined poses — the
+    same pull-in strategy as the coarse-to-fine tracker (tracker.cpp:
+    324-340) applied to the joint window problem.  All levels share the
+    pose unknowns, so only the poses are chained.
+    """
+    n_levels = len(windows)
+    poses = windows[n_levels - 1].poses
+    err = jnp.float32(0.0)
+    for lvl in range(n_levels - 1, -1, -1):
+        win = windows[lvl]._replace(poses=poses)
+        poses, err = optimize_window(
+            win,
+            pair_i,
+            pair_j,
+            pair_w,
+            cams[lvl],
+            opt,
+            lvl=lvl,
+            iters=iters_per_lvl[min(lvl, len(iters_per_lvl) - 1)],
+            damping=damping,
+        )
+    return poses, err

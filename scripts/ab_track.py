@@ -67,6 +67,14 @@ def main():
         ("rank+dt4bf+lm", cfg_with(compaction="rank", quad_form="dt4bf")),
         ("rank+dt4bf+gn", cfg_with(
             compaction="rank", quad_form="dt4bf", solver="gn_fixed")),
+        # Gather forms in the single-seq context (the batched context picks
+        # independently — see ab_batch.py; the emitter flips between them).
+        ("rank+dt4bf+gn+fr", cfg_with(
+            compaction="rank", quad_form="dt4bf", solver="gn_fixed",
+            bilinear_impl="quad_fr")),
+        ("rank+dt4bf+gn+lf", cfg_with(
+            compaction="rank", quad_form="dt4bf", solver="gn_fixed",
+            bilinear_impl="quad_lf")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)
