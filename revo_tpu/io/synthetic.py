@@ -78,6 +78,97 @@ def _default_planes() -> List[Plane]:
     ]
 
 
+def box_faces(
+    center, half_size, phase0: float = 0.0
+) -> List[Plane]:
+    """Six bounded textured faces of an axis-aligned cuboid.
+
+    Nearest-t raycasting resolves the convex self-occlusion exactly (the
+    first bounded face a ray crosses is the visible one), so boxes create
+    true depth discontinuities and view-dependent silhouette edges — the
+    regime where DT edge alignment has to cope with appearing/disappearing
+    occlusion contours rather than a smooth textured surface.
+    """
+    c = np.asarray(center, np.float64)
+    s = np.asarray(half_size, np.float64)
+    ex = np.array([1.0, 0.0, 0.0])
+    ey = np.array([0.0, 1.0, 0.0])
+    ez = np.array([0.0, 0.0, 1.0])
+    faces = []
+    axes = [(ex, ey, ez), (ey, ez, ex), (ez, ex, ey)]
+    for k, (n, a1, a2) in enumerate(axes):
+        for sgn in (+1.0, -1.0):
+            d = float(n @ c + sgn * s[k])
+            ulo, uhi = a1 @ c - s[(k + 1) % 3], a1 @ c + s[(k + 1) % 3]
+            vlo, vhi = a2 @ c - s[(k + 2) % 3], a2 @ c + s[(k + 2) % 3]
+            faces.append(
+                Plane(
+                    n=n.copy(),
+                    d=d,
+                    a1=a1.copy(),
+                    a2=a2.copy(),
+                    phase=phase0 + 0.7 * len(faces),
+                    bounds=(float(ulo), float(uhi), float(vlo), float(vhi)),
+                )
+            )
+    return faces
+
+
+def box_scene(**kw) -> "SyntheticScene":
+    """Occlusion-heavy scene family: the textured room plus two cuboids at
+    different depths.  Moving the camera slides the boxes' silhouettes
+    across the far wall (depth discontinuities + occlusion boundaries),
+    unlike the smooth-parallax bounded panels of the default scene."""
+    planes = _default_planes()[:3]  # walls + floor only
+    planes += box_faces((-0.25, 0.45, 1.9), (0.22, 0.16, 0.18), phase0=4.2)
+    planes += box_faces((0.42, -0.05, 2.45), (0.18, 0.26, 0.15), phase0=7.9)
+    return SyntheticScene(planes=planes, **kw)
+
+
+def loop_trajectory(
+    n_frames: int,
+    radius: float = 0.25,
+    wobble: float = 0.004,
+    seed: int = 0,
+) -> np.ndarray:
+    """Closed-loop trajectory (N, 4, 4): one full lateral circuit in the
+    x-y plane with gentle yaw, returning exactly to the start — the
+    revisit geometry loop-closure needs (pose[N-1] ~ pose[0], and frames
+    near the end re-observe the first keyframes' views)."""
+    from revo_tpu import lie
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / (n_frames - 1)
+        # lateral circle + slight look-around yaw, plus smooth wobble
+        t = np.array(
+            [
+                radius * np.sin(a),
+                0.4 * radius * (1.0 - np.cos(a)),
+                0.15 * radius * np.sin(2 * a),
+            ]
+        )
+        yaw = 0.25 * np.sin(a)
+        xi = np.array([0, 0, 0, 0, yaw, 0], np.float32)
+        dR, _ = lie.exp_se3(jnp.asarray(xi))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(dR)
+        T[:3, 3] = t
+        if wobble > 0 and 0 < i < n_frames - 1:
+            T[:3, 3] += rng.normal(scale=wobble, size=3)
+        poses.append(T)
+    return np.stack(poses)
+
+
+def render_trajectory(scene: "SyntheticScene", cam, traj: np.ndarray, seed: int = 0):
+    """Yield (gray, depth, T_w_c, timestamp) over an explicit trajectory."""
+    for i, T in enumerate(traj):
+        gray, depth = render_frame(scene, cam, T, seed=seed * 1000 + i)
+        yield gray, depth, T, float(i) / 30.0
+
+
 def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
     """Procedural gray texture in [0, 255]: sharp *aperiodic* structure.
 

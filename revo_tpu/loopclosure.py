@@ -64,11 +64,19 @@ def verify_candidate(
     kf_a: Keyframe,
     kf_b: Keyframe,
     cfg: SystemConfig,
-    max_error: float = 1.0,
-    min_good_ratio: float = 4.0,
+    max_error: float = 0.3,
+    min_good_ratio: float = 2.0,
+    min_good: int = 300,
 ) -> Optional[Tuple[np.ndarray, float]]:
     """Geometric verification: track b's frame against a's DT structure
-    from the current relative estimate.  Returns (T_ab, error) or None."""
+    from the current relative estimate.  Returns (T_ab, error) or None.
+
+    The good/bad gate is looser than the tracker's promotion ratio (4.0,
+    tracker.cpp:351): loop pairs sit across wider baselines where partial
+    view overlap is expected and legitimate (a verified revisit at 0.24 m
+    baseline measured ratio 3.4 with 2200+ good points), so precision
+    comes from the DT error bound plus an absolute inlier count, with the
+    ratio only guarding degenerate overlaps."""
     T_a = np.asarray(kf_a.T_w_k)
     T_b = np.asarray(kf_b.T_w_k)
     T_ab0 = np.linalg.inv(T_a) @ T_b
@@ -82,7 +90,7 @@ def verify_candidate(
     err = float(res.error)
     good = int(res.good)
     bad = max(int(res.bad), 1)
-    if err > max_error or good / bad < min_good_ratio:
+    if err > max_error or good < min_good or good / bad < min_good_ratio:
         return None
     T_ab = np.eye(4, dtype=np.float32)
     T_ab[:3, :3] = np.asarray(res.R)
@@ -95,7 +103,7 @@ def close_loops(
     cfg: SystemConfig,
     min_separation: int = 2,
     radius: float = 0.5,
-    max_error: float = 1.0,
+    max_error: float = 0.3,
     loop_weight: float = 2.0,
     iters: int = 15,
 ) -> Tuple[np.ndarray, List[LoopEdge]]:

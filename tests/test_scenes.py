@@ -1,0 +1,162 @@
+"""Accuracy gates beyond the single-textured-plane world: occlusion-heavy
+box scenes, a full-resolution (640x480) ATE gate, fast-motion envelopes per
+scene family, and the end-to-end loop-closure gate (VO run -> drift ->
+verified loop edge -> measurable ATE reduction).
+
+The reference's acceptance protocol is ATE/RPE on TUM sequences
+(README.md:43-57); with zero egress these rendered scenes with exact
+ground truth are the stand-in (BASELINE.md)."""
+import dataclasses
+
+import numpy as np
+
+from revo_tpu.config import SystemConfig
+from revo_tpu.eval import absolute_trajectory_error
+from revo_tpu.io.synthetic import (
+    box_scene,
+    loop_trajectory,
+    render_sequence,
+    render_trajectory,
+)
+from revo_tpu.loopclosure import close_loops
+from revo_tpu.system import VOSystem
+
+from test_solver import small_cfg
+
+
+def _run(cfg, scene, frames_iter):
+    vo = VOSystem(cfg)
+    est, gt = [], []
+    for gray, depth, T, ts in frames_iter:
+        est.append(vo.process_frame(gray, depth, ts))
+        gt.append(T)
+    return np.stack(est), np.stack(gt), vo
+
+
+class TestBoxScene:
+    """Cuboid scenes: true depth discontinuities and view-dependent
+    silhouette/occlusion edges — the regime the bounded-panel default
+    scene's smooth parallax does not exercise."""
+
+    def test_tracks_through_occlusion(self):
+        cfg = small_cfg()
+        scene = box_scene()
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=3)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.015, f"box-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_fast_motion_5x_tracks(self):
+        """Box-family fast-motion envelope: 5x handheld (~4 cm/frame)
+        still tracks (the single-plane family's aliasing breaks earlier);
+        the measured break point is between 5x and 7.5x — documented in
+        STATUS.md, not asserted (7.5x ATE was 0.36 m)."""
+        cfg = small_cfg()
+        scene = box_scene()
+        traj = scene.trajectory(
+            40, seed=6, translation_step=0.04, rotation_step=0.015
+        )
+        est, gt, vo = _run(
+            cfg, scene, render_trajectory(scene, cfg.camera, traj, seed=6)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"5x fast-motion ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_depth_noise_and_holes(self):
+        """Kinect-class depth corruption (4 cm noise, 20% holes) on the
+        occlusion scene stays within a centimetre-class envelope."""
+        cfg = small_cfg()
+        scene = box_scene(depth_noise=0.04, depth_hole_frac=0.2)
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=3)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.03, f"noisy box-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+
+class TestFullResolution:
+    def test_ate_gate_640x480(self):
+        """CI-light full-resolution gate (VERDICT round 1 #3): the default
+        640x480 operating point on the occlusion scene, 22 frames."""
+        cfg = SystemConfig()
+        scene = box_scene()
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 22, seed=2)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.005, f"640x480 ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+
+class TestLoopClosureEndToEnd:
+    def test_loop_closure_reduces_ate(self):
+        """Full pipeline gate: a closed-loop trajectory with a transient
+        depth-scale miscalibration (frames 30-60 at 1.08x — a realistic
+        drift source: biased depth biases translation) accumulates real
+        drift; the revisit keyframe is found, geometrically verified, and
+        the pose-graph correction measurably reduces full-trajectory ATE."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(cfg.tracker, kf_history_size=64),
+        )
+        scene = box_scene()
+        traj = loop_trajectory(110, radius=0.75, wobble=0.004, seed=5)
+        vo = VOSystem(cfg)
+        est = []
+        for i, (gray, depth, T, ts) in enumerate(
+            render_trajectory(scene, cfg.camera, traj, seed=5)
+        ):
+            scale = 1.08 if 30 <= i < 60 else 1.0
+            est.append(vo.process_frame(gray, depth * scale, ts))
+        est = np.stack(est)
+        ate_pre = absolute_trajectory_error(est, traj)
+        assert ate_pre.rmse > 0.015, (
+            f"drift injection too weak ({ate_pre.rmse:.4f} m) - gate vacuous"
+        )
+
+        kfs = [kf for _, kf in vo.kf_history]
+        ords = [o for o, _ in vo.kf_history]
+        corrected, loops = close_loops(kfs, vo.cfg, radius=0.8)
+        assert loops, "no verified loop edge on a closed-loop revisit"
+        # the verified revisit must span the loop (early kf -> late kf)
+        assert any(b - a >= 5 for a, b, _, _ in loops), loops
+
+        all_kf = {o: corrected[i] for i, o in enumerate(ords)}
+        full = np.stack(
+            [
+                all_kf.get(n.kf_ordinal, n.T_w_kf) @ n.T_kf_curr
+                for n in vo.pose_graph
+            ]
+        )
+        ate_post = absolute_trajectory_error(full, traj)
+        assert ate_post.rmse < 0.75 * ate_pre.rmse, (
+            f"loop closure did not reduce ATE: "
+            f"{ate_pre.rmse:.4f} -> {ate_post.rmse:.4f} m"
+        )
+
+    def test_false_loops_rejected_on_broken_run(self):
+        """On a run whose tracking broke mid-loop (heavy depth corruption),
+        candidates between drifted keyframes must NOT be verified — the
+        tightened DT-error gate (max_error 0.3; bogus matches measured
+        0.4-0.5 vs 0.11-0.13 for true revisits) keeps precision."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(cfg.tracker, kf_history_size=64),
+        )
+        scene = box_scene(depth_noise=0.06, depth_hole_frac=0.3)
+        traj = loop_trajectory(110, radius=0.75, wobble=0.006, seed=5)
+        vo = VOSystem(cfg)
+        for gray, depth, T, ts in render_trajectory(
+            scene, cfg.camera, traj, seed=5
+        ):
+            vo.process_frame(gray, depth, ts)
+        kfs = [kf for _, kf in vo.kf_history]
+        _, loops = close_loops(kfs, vo.cfg, radius=0.8)
+        for e in loops:
+            assert e.error < 0.3, e
