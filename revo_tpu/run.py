@@ -19,7 +19,7 @@ import numpy as np
 
 def _run_dataset(
     cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0,
-    close_loops_flag: bool = False,
+    close_loops_flag: bool = False, live_view: bool = False,
 ) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
@@ -74,12 +74,24 @@ def _run_dataset(
 
     vo = VOSystem(cfg)
     pose_file = os.path.join(out_dir, f"poses_{dataset}.txt")
-    poses, stamps, report = vo.run(frames(), pose_file=pose_file)
+    viewer = _maybe_viewer(live_view, out_dir)
+    poses, stamps, report = vo.run(frames(), pose_file=pose_file, viewer=viewer)
+    if viewer is not None:
+        viewer.close()
+        print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
     if gt_file:
         _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir)
+
+
+def _maybe_viewer(live_view: bool, out_dir: str):
+    if not live_view:
+        return None
+    from revo_tpu.viz.live import LiveViewer
+
+    return LiveViewer(out_dir)
 
 
 def _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir) -> None:
@@ -163,7 +175,7 @@ def _maybe_close_loops(vo, poses):
           f"{[(e.a, e.b) for e in loops]}")
     return np.stack(full)
 
-def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False) -> int:
+def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False) -> int:
     from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
     from revo_tpu.io.synthetic import SyntheticScene, render_sequence
     from revo_tpu.system import VOSystem
@@ -180,7 +192,11 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag
 
     vo = VOSystem(cfg)
     pose_file = os.path.join(out_dir, "poses_synthetic.txt")
-    poses, _, report = vo.run(frames(), pose_file=pose_file)
+    viewer = _maybe_viewer(live_view, out_dir)
+    poses, _, report = vo.run(frames(), pose_file=pose_file, viewer=viewer)
+    if viewer is not None:
+        viewer.close()
+        print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
@@ -236,6 +252,13 @@ def main(argv=None) -> int:
              "(TPU shape-bucketing; see revo_tpu.autotune)",
     )
     parser.add_argument(
+        "--live-view", action="store_true",
+        help="render live progress (trajectory + reprojection overlay + "
+             "auto-refreshing index.html) to OUT/live/ on a background "
+             "thread while the run progresses — the headless equivalent "
+             "of the reference's Pangolin viewer thread",
+    )
+    parser.add_argument(
         "--cpu", action="store_true",
         help="force the JAX CPU backend (also REVO_TPU_PLATFORM=cpu); "
              "use when the accelerator is unreachable",
@@ -270,6 +293,7 @@ def main(argv=None) -> int:
         return _run_synthetic(
             cfg, args.synthetic, args.out, args.seed,
             close_loops_flag=args.close_loops,
+            live_view=args.live_view,
         )
 
     if not args.dataset:
@@ -282,6 +306,7 @@ def main(argv=None) -> int:
             cfg, ds, args.out, gt_file=args.gt,
             auto_capacity=args.auto_capacity,
             close_loops_flag=args.close_loops,
+            live_view=args.live_view,
         )
     return 0
 

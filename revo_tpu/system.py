@@ -361,13 +361,20 @@ class VOSystem:
         self.n_frames += 1
         return node.T_w_curr
 
-    def run(self, frames, pose_file: Optional[str] = None):
+    def run(self, frames, pose_file: Optional[str] = None, viewer=None):
         """Run over an iterable of (gray, depth, timestamp); returns
-        (poses (N,4,4), timestamps, VOReport)."""
+        (poses (N,4,4), timestamps, VOReport).  ``viewer`` is an optional
+        live visualizer (viz.live.LiveViewer) fed a snapshot per frame —
+        the non-blocking equivalent of the reference's viewer-thread
+        hand-off (system.cpp:279-281)."""
         poses, stamps = [], []
         for gray, depth, ts in frames:
             poses.append(self.process_frame(gray, depth, ts))
             stamps.append(ts)
+            if viewer is not None:
+                viewer.update(
+                    self, self.prev_frame, poses[-1], len(poses) - 1
+                )
         poses = np.stack(poses) if poses else np.zeros((0, 4, 4))
         if pose_file and self.cfg.do_output_poses:
             qs = np.asarray(

@@ -67,7 +67,8 @@ def main():
     # Re-adjudication of every gather form against the FIXED use_quad gate
     # (tracker.py once sent all suffixed variants the take4 fallback).
     variants = [
-        ("rank+dt4bf",      cfg_with(compaction="rank", quad_form="dt4bf")),
+        ("rank+dt4bf+take", cfg_with(
+            compaction="rank", quad_form="dt4bf", bilinear_impl="quad")),
         ("rank+dt4bf+ob",   cfg_with(
             compaction="rank", quad_form="dt4bf", bilinear_impl="quad_ob")),
         ("rank+dt4bf+fr",   cfg_with(
@@ -76,6 +77,13 @@ def main():
             compaction="rank", quad_form="dt4bf", bilinear_impl="quad_lf")),
         ("rank+dt4bf+lf12", cfg_with(
             compaction="rank", quad_form="dt4bf", bilinear_impl="quad_lf12")),
+        # Context re-adjudication under the lf winner (the emitter is
+        # context-dependent; scatter-vs-rank was last judged pre-lf).
+        ("scat+dt4bf+lf",   cfg_with(
+            compaction="scatter", quad_form="dt4bf",
+            bilinear_impl="quad_lf")),
+        ("rank+dt4+lf",     cfg_with(
+            compaction="rank", quad_form="dt4", bilinear_impl="quad_lf")),
     ]
     for name, c in variants:
         kf = make_keyframe(f0, jnp.eye(4), c)

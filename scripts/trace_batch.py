@@ -12,7 +12,7 @@ from revo_tpu.frontend import build_frame, make_keyframe
 from revo_tpu.config import SystemConfig
 from revo_tpu.io.synthetic import SyntheticScene, render_sequence
 
-FORM = sys.argv[1] if len(sys.argv) > 1 else "flat"
+FORM = sys.argv[1] if len(sys.argv) > 1 else "dt4bf"
 cfg = SystemConfig()
 cfg_b = dataclasses.replace(
     cfg,

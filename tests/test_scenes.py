@@ -160,3 +160,33 @@ class TestLoopClosureEndToEnd:
         _, loops = close_loops(kfs, vo.cfg, radius=0.8)
         for e in loops:
             assert e.error < 0.3, e
+
+
+class TestLiveViewer:
+    def test_live_viewer_renders_during_run(self, tmp_path):
+        """The headless live viewer (viz.live) renders trajectory +
+        reprojection overlay + index.html on its background thread while
+        the run progresses — the reference's Pangolin viewer-thread
+        pattern (system.cpp:39, Viewer.cc:61-168) without a display."""
+        import os
+
+        from revo_tpu.io.synthetic import render_sequence
+        from revo_tpu.viz.live import LiveViewer
+
+        cfg = small_cfg()
+        scene = box_scene()
+        vo = VOSystem(cfg)
+        viewer = LiveViewer(str(tmp_path), every=2)
+        for i, (gray, depth, T, ts) in enumerate(
+            render_sequence(scene, cfg.camera, 8, seed=1)
+        ):
+            pose = vo.process_frame(gray, depth, ts)
+            viewer.update(vo, vo.prev_frame, pose, i)
+        viewer.close()
+        live = tmp_path / "live"
+        assert (live / "index.html").exists()
+        assert (live / "trajectory.png").exists()
+        assert (live / "overlay.png").exists()
+        assert not (live / "viewer_errors.log").exists(), (
+            (live / "viewer_errors.log").read_text()
+        )
