@@ -154,6 +154,10 @@ def _vo_scan_step(
 
         def no_reloc(op):
             ring_, frame_, kf_ = op
+            # Dummy outputs tied to the input so their varying axes match
+            # the reloc branch under shard_map (same trick as the scan
+            # carries, _tie_to_input docstring).
+            zero = frame_.levels[0].gray[0, 0] * 0
             dummy = tracker.TrackResult(
                 R=jnp.eye(3),
                 t=jnp.zeros(3),
@@ -162,7 +166,8 @@ def _vo_scan_step(
                 bad=jnp.int32(0),
                 new_kf=jnp.array(False),
             )
-            return jnp.array(False), dummy, kf_
+            found_, dummy = _tie_to_input((jnp.array(False), dummy), zero)
+            return found_, dummy, kf_
 
         found, sel, kf_reloc = jax.lax.cond(
             lost, do_reloc, no_reloc, (state.kf_ring, frame, state.kf)

@@ -354,6 +354,61 @@ def optimize_window_sharded(
     return jax.jit(run)(window, pi, pj, pw)
 
 
+def refine_keyframes(
+    keyframes,
+    cfg,
+    radius: int = 2,
+    iters_per_lvl=(6, 4, 4),
+    damping: float = 1.0,
+):
+    """Post-run windowed refinement over a keyframe list (the CLI-facing
+    entry: run.py --windowed-ba).
+
+    Builds per-level Windows straight from the retained Keyframes (DT
+    structs + edge clouds are already device-resident) and runs coarse-to
+    -fine joint LM over all keyframe poses, gauge-fixed at the oldest.
+    Returns refined world poses (K, 4, 4) as NumPy.  This is the
+    capability the reference declares and never ships
+    (windowedoptimization, CMakeLists.txt:152-153; optimizer.h:164-165).
+    """
+    import numpy as _np
+
+    cams = cfg.camera_pyramid()
+    n_levels = cfg.pyramid.n_levels
+    opt = cfg.tracker.optimizer
+    poses0 = jnp.asarray(
+        _np.stack([_np.asarray(k.T_w_k) for k in keyframes]).astype(
+            _np.float32
+        )
+    )
+    windows = []
+    for lvl in range(n_levels):
+        windows.append(
+            Window(
+                structs=jnp.stack([k.structs[lvl] for k in keyframes]),
+                points=jnp.stack(
+                    [k.frame.levels[lvl].cloud.points for k in keyframes]
+                ),
+                valid=jnp.stack(
+                    [k.frame.levels[lvl].cloud.valid for k in keyframes]
+                ),
+                poses=poses0,
+            )
+        )
+    pi, pj, pw = make_pairs(len(keyframes), radius)
+    poses, _ = optimize_window_pyramid(
+        tuple(windows),
+        pi,
+        pj,
+        pw,
+        tuple(cams[:n_levels]),
+        opt,
+        iters_per_lvl=iters_per_lvl,
+        damping=damping,
+    )
+    return _np.asarray(poses)
+
+
 def optimize_window_pyramid(
     windows,
     pair_i: jax.Array,

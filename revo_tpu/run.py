@@ -20,6 +20,7 @@ import numpy as np
 def _run_dataset(
     cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0,
     close_loops_flag: bool = False, live_view: bool = False,
+    windowed_ba_flag: bool = False,
 ) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
@@ -80,6 +81,8 @@ def _run_dataset(
         viewer.close()
         print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
+    if windowed_ba_flag:
+        poses = _maybe_windowed_ba(vo, poses)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
     if gt_file:
@@ -151,6 +154,29 @@ def _print_report(report, pose_file) -> None:
 
 
 
+def _maybe_windowed_ba(vo, poses):
+    """Post-run windowed joint refinement over the retained keyframe ring
+    (the BA the reference stubs out); returns re-anchored poses."""
+    import numpy as np
+
+    from revo_tpu.parallel.windowed import refine_keyframes
+
+    if len(vo.kf_history) < 2:
+        print("[revo_tpu] windowed BA: <2 keyframes retained; skipping")
+        return poses
+    kfs = [kf for _, kf in vo.kf_history]
+    ordinals = [o for o, _ in vo.kf_history]
+    refined = refine_keyframes(kfs, vo.cfg)
+    all_kf = {o: refined[i] for i, o in enumerate(ordinals)}
+    full = []
+    for node in vo.pose_graph:
+        T_kf = all_kf.get(node.kf_ordinal, node.T_w_kf)
+        full.append(T_kf @ node.T_kf_curr)
+    print(f"[revo_tpu] windowed BA: refined {len(kfs)} keyframes "
+          f"(coarse-to-fine joint LM)")
+    return np.stack(full)
+
+
 def _maybe_close_loops(vo, poses):
     """Post-run loop closure over the retained keyframe ring (SLAM upgrade
     the reference lacks); returns (possibly corrected) poses."""
@@ -175,7 +201,7 @@ def _maybe_close_loops(vo, poses):
           f"{[(e.a, e.b) for e in loops]}")
     return np.stack(full)
 
-def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False) -> int:
+def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False, windowed_ba_flag: bool = False) -> int:
     from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
     from revo_tpu.io.synthetic import SyntheticScene, render_sequence
     from revo_tpu.system import VOSystem
@@ -198,6 +224,8 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag
         viewer.close()
         print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
+    if windowed_ba_flag:
+        poses = _maybe_windowed_ba(vo, poses)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
     gt_arr = np.stack(gt)
@@ -252,6 +280,12 @@ def main(argv=None) -> int:
              "(TPU shape-bucketing; see revo_tpu.autotune)",
     )
     parser.add_argument(
+        "--windowed-ba", action="store_true",
+        help="post-run windowed joint refinement of the retained keyframe "
+             "ring (parallel.windowed; raise KF_HISTORY_SIZE to retain "
+             "more) — the BA the reference declares but never ships",
+    )
+    parser.add_argument(
         "--live-view", action="store_true",
         help="render live progress (trajectory + reprojection overlay + "
              "auto-refreshing index.html) to OUT/live/ on a background "
@@ -294,6 +328,7 @@ def main(argv=None) -> int:
             cfg, args.synthetic, args.out, args.seed,
             close_loops_flag=args.close_loops,
             live_view=args.live_view,
+            windowed_ba_flag=args.windowed_ba,
         )
 
     if not args.dataset:
@@ -307,6 +342,7 @@ def main(argv=None) -> int:
             auto_capacity=args.auto_capacity,
             close_loops_flag=args.close_loops,
             live_view=args.live_view,
+            windowed_ba_flag=args.windowed_ba,
         )
     return 0
 

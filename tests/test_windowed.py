@@ -323,6 +323,50 @@ class TestWindowed:
             np.asarray(poses_c2f[0]), np.asarray(win0.poses[0]), atol=1e-6
         )
 
+    def test_refine_keyframes_from_real_keyframes(self):
+        """refine_keyframes (the run.py --windowed-ba entry) builds its
+        per-level windows straight from Keyframe objects and reduces
+        perturbed keyframe pose error on rendered frames."""
+        import dataclasses
+
+        from revo_tpu import lie
+        from revo_tpu.frontend import build_frame, make_keyframe
+        from revo_tpu.io.synthetic import SyntheticScene, render_frame
+        from revo_tpu.parallel.windowed import refine_keyframes
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        rng = np.random.default_rng(3)
+        true_poses = [np.eye(4, dtype=np.float32)]
+        for _ in range(3):
+            xi = rng.normal(size=6).astype(np.float32) * 0.02
+            dR, dt = lie.exp_se3(jnp.asarray(xi))
+            true_poses.append(
+                true_poses[-1] @ np.asarray(lie.matrix_from_rt(dR, dt))
+            )
+        kfs = []
+        for T in true_poses:
+            g, d = render_frame(scene, cfg.camera, T)
+            f = build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+            # perturb the stored world pose (drifted odometry estimate)
+            xi = rng.normal(size=6).astype(np.float32) * 0.008
+            dR, dt = lie.exp_se3(jnp.asarray(xi))
+            T_pert = np.asarray(lie.matrix_from_rt(dR, dt)) @ T
+            kfs.append(make_keyframe(f, jnp.asarray(T_pert), cfg))
+        kfs[0] = kfs[0]._replace(T_w_k=jnp.asarray(true_poses[0]))  # gauge
+
+        init_err = max(
+            np.linalg.norm(np.asarray(k.T_w_k)[:3, 3] - T[:3, 3])
+            for k, T in zip(kfs, true_poses)
+        )
+        refined = refine_keyframes(kfs, cfg)
+        ref_err = max(
+            np.linalg.norm(refined[i][:3, 3] - T[:3, 3])
+            for i, T in enumerate(true_poses)
+        )
+        assert ref_err < init_err * 0.7, (init_err, ref_err)
+
     def test_sharded_matches_single(self):
         win, true = _build_window(n_frames=5, perturb=0.008, seed=5)
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ("pair",))
