@@ -20,7 +20,7 @@ import numpy as np
 def _run_dataset(
     cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0,
     close_loops_flag: bool = False, live_view: bool = False,
-    windowed_ba_flag: bool = False,
+    windowed_ba_flag: bool = False, export_ply: bool = False,
 ) -> None:
     from revo_tpu.io import native_loader
     from revo_tpu.io.tum import load_associations, load_tum_frame
@@ -85,6 +85,8 @@ def _run_dataset(
         poses = _maybe_windowed_ba(vo, poses)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
+    if export_ply:
+        _maybe_export_ply(vo, poses, out_dir)
     if gt_file:
         _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir)
 
@@ -154,6 +156,43 @@ def _print_report(report, pose_file) -> None:
 
 
 
+def _maybe_export_ply(vo, poses, out_dir):
+    """Map model export — the reference viewer's saveModel
+    (MapDrawer.h:97-170) without a GUI: edge-sparse colored cloud of every
+    retained keyframe (transformed to world), keyframe frusta, and the
+    trajectory polyline, all as PLY."""
+    import numpy as np
+
+    from revo_tpu.frontend import generate_colored_pcl
+    from revo_tpu.viz.ply import (
+        export_colored_pcl_ply,
+        export_keyframe_frusta_ply,
+        export_trajectory_ply,
+    )
+
+    pts_all, clr_all = [], []
+    for _, kf in vo.kf_history:
+        pts, clr = generate_colored_pcl(kf.frame, vo.cfg)
+        T = np.asarray(kf.T_w_k)
+        pts_all.append(pts @ T[:3, :3].T + T[:3, 3])
+        clr_all.append(clr)
+    if pts_all:
+        export_colored_pcl_ply(
+            os.path.join(out_dir, "map_cloud.ply"),
+            np.concatenate(pts_all),
+            np.concatenate(clr_all),
+        )
+    export_keyframe_frusta_ply(
+        os.path.join(out_dir, "map_keyframes.ply"),
+        [np.asarray(kf.T_w_k) for _, kf in vo.kf_history],
+    )
+    export_trajectory_ply(
+        os.path.join(out_dir, "trajectory.ply"), np.asarray(poses)
+    )
+    print(f"[revo_tpu] PLY model written to {out_dir}/map_cloud.ply, "
+          f"map_keyframes.ply, trajectory.ply")
+
+
 def _maybe_windowed_ba(vo, poses):
     """Post-run windowed joint refinement over the retained keyframe ring
     (the BA the reference stubs out); returns re-anchored poses."""
@@ -201,7 +240,7 @@ def _maybe_close_loops(vo, poses):
           f"{[(e.a, e.b) for e in loops]}")
     return np.stack(full)
 
-def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False, windowed_ba_flag: bool = False) -> int:
+def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False, windowed_ba_flag: bool = False, export_ply: bool = False) -> int:
     from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
     from revo_tpu.io.synthetic import SyntheticScene, render_sequence
     from revo_tpu.system import VOSystem
@@ -228,6 +267,8 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag
         poses = _maybe_windowed_ba(vo, poses)
     if close_loops_flag:
         poses = _maybe_close_loops(vo, poses)
+    if export_ply:
+        _maybe_export_ply(vo, poses, out_dir)
     gt_arr = np.stack(gt)
     try:
         from revo_tpu.viz import plot_error, plot_trajectory
@@ -280,6 +321,12 @@ def main(argv=None) -> int:
              "(TPU shape-bucketing; see revo_tpu.autotune)",
     )
     parser.add_argument(
+        "--export-ply", action="store_true",
+        help="export the map model as PLY (colored keyframe cloud, "
+             "keyframe frusta, trajectory) — the viewer's saveModel "
+             "without a GUI",
+    )
+    parser.add_argument(
         "--windowed-ba", action="store_true",
         help="post-run windowed joint refinement of the retained keyframe "
              "ring (parallel.windowed; raise KF_HISTORY_SIZE to retain "
@@ -329,6 +376,7 @@ def main(argv=None) -> int:
             close_loops_flag=args.close_loops,
             live_view=args.live_view,
             windowed_ba_flag=args.windowed_ba,
+            export_ply=args.export_ply,
         )
 
     if not args.dataset:
@@ -343,6 +391,7 @@ def main(argv=None) -> int:
             close_loops_flag=args.close_loops,
             live_view=args.live_view,
             windowed_ba_flag=args.windowed_ba,
+            export_ply=args.export_ply,
         )
     return 0
 
