@@ -141,6 +141,61 @@ def load(path: str) -> VOCheckpoint:
     )
 
 
+def save_scan_state(path: str, state) -> None:
+    """Checkpoint a device-resident scan state (parallel.batch.ScanVOState
+    pytree) — every leaf keyed by its pytree path, so restore is
+    structure-checked against a template built from the config."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    flattened, _ = tree_flatten_with_path(state)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {}
+    for kp, v in flattened:
+        a = np.asarray(v)
+        if str(a.dtype) == "bfloat16":
+            # npz has no bf16: store the raw bits; load_scan_state views
+            # them back through the template leaf's dtype.
+            a = a.view(np.uint16)
+        arrays[keystr(kp)] = a
+    np.savez_compressed(path, **arrays)
+
+
+def load_scan_state(path: str, cfg):
+    """Restore a ScanVOState saved by save_scan_state.
+
+    The pytree structure comes from ``scan_state_template(cfg)`` — the
+    config must match the one the state was captured under (same shapes,
+    same scan_relocalization setting)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from revo_tpu.parallel.batch import scan_state_template
+
+    template = scan_state_template(cfg)
+    flattened, treedef = tree_flatten_with_path(template)
+    z = np.load(path)
+    leaves = []
+    for kp, tmpl in flattened:
+        key = keystr(kp)
+        if key not in z:
+            raise KeyError(
+                f"checkpoint {path} missing leaf {key} — config mismatch?"
+            )
+        arr = z[key]
+        if str(jnp.result_type(tmpl)) == "bfloat16":
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        if arr.shape != np.shape(tmpl):
+            raise ValueError(
+                f"leaf {key}: checkpoint shape {arr.shape} != config "
+                f"shape {np.shape(tmpl)}"
+            )
+        leaves.append(jnp.asarray(arr))
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def restore(vo, ckpt: VOCheckpoint, frame_for_kf=None) -> None:
     """Restore a VOSystem from a checkpoint.
 

@@ -278,6 +278,34 @@ def _vo_scan_step(
     return new_state, out
 
 
+def scan_state_template(cfg: SystemConfig) -> ScanVOState:
+    """A zero-data ScanVOState with the exact pytree structure/shapes a
+    scan under ``cfg`` carries — the restore target for checkpointed scan
+    states (checkpoint.load_scan_state)."""
+    h, w = cfg.camera.height, cfg.camera.width
+    frame0 = build_frame(
+        jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32), cfg
+    )
+    return _init_state(frame0, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vo_scan_from_state(
+    state: ScanVOState, grays: jax.Array, depths: jax.Array, cfg: SystemConfig
+) -> Tuple[jax.Array, ScanVOOutput, ScanVOState]:
+    """Continue VO from a carried (or checkpoint-restored) ScanVOState over
+    (N, H, W) frames; returns (poses (N,4,4), outputs, final state).
+
+    ``vo_scan(g, d, cfg)`` is exactly ``vo_scan_from_state(init, g[1:],
+    d[1:], cfg)`` after frame-0 initialization — resuming from a saved
+    final state reproduces the continuous run (gated in test_checkpoint).
+    """
+    state = _tie_to_input(state, grays[0, 0, 0] * 0)
+    step = functools.partial(_vo_scan_step, cfg=cfg)
+    final_state, outs = jax.lax.scan(step, state, (grays, depths))
+    return outs.T_w, outs, final_state
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def vo_scan(
     grays: jax.Array, depths: jax.Array, cfg: SystemConfig

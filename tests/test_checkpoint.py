@@ -61,3 +61,70 @@ class TestCheckpoint:
 
         for p_full, p_res in zip(poses_full[7:], poses_resumed):
             np.testing.assert_allclose(p_res, p_full, atol=1e-5)
+
+
+class TestScanCheckpoint:
+    def test_scan_resume_equals_continuous(self, tmp_path):
+        """Device-resident path: save the scan state mid-sequence, restore
+        it through the npz round trip, continue — poses must match the
+        continuous scan bit-for-bit (same program, same state)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from revo_tpu.checkpoint import load_scan_state, save_scan_state
+        from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+        from revo_tpu.parallel.batch import vo_scan, vo_scan_from_state
+
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 10, seed=6))
+        grays = jnp.asarray(np.stack([f[0] for f in frames]))
+        depths = jnp.asarray(np.stack([f[1] for f in frames]))
+
+        poses_full, _, _ = vo_scan(grays, depths, cfg)
+
+        _, _, state_mid = vo_scan(grays[:6], depths[:6], cfg)
+        path = str(tmp_path / "scan_state.npz")
+        save_scan_state(path, state_mid)
+        state_restored = load_scan_state(path, cfg)
+        poses_tail, _, _ = vo_scan_from_state(
+            state_restored, grays[6:], depths[6:], cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses_tail),
+            np.asarray(poses_full)[6:],
+            atol=1e-6,
+        )
+
+    def test_config_mismatch_rejected(self, tmp_path):
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from revo_tpu.checkpoint import load_scan_state, save_scan_state
+        from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+        from revo_tpu.parallel.batch import vo_scan
+
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 3, seed=6))
+        grays = jnp.asarray(np.stack([f[0] for f in frames]))
+        depths = jnp.asarray(np.stack([f[1] for f in frames]))
+        _, _, state = vo_scan(grays, depths, cfg)
+        path = str(tmp_path / "scan_state.npz")
+        save_scan_state(path, state)
+
+        bad = dataclasses.replace(
+            cfg,
+            pyramid=dataclasses.replace(
+                cfg.pyramid, edge_capacity=(2048, 1024, 512)
+            ),
+        )
+        with pytest.raises((KeyError, ValueError)):
+            load_scan_state(path, bad)
