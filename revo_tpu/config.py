@@ -200,6 +200,17 @@ class TrackerConfig:
     reloc_error_threshold: float = 2.0  # mean weighted DT error (px)
     reloc_min_good: int = 100
     kf_history_size: int = 5
+    # Online (mid-run) loop closure: every ``loop_closure_every`` frames
+    # the retained keyframe ring is searched for verified revisits and the
+    # pose graph + live tracking state are corrected in place (the offline
+    # equivalent is run.py --close-loops).  Off by default — odometry
+    # parity with the reference; enable for SLAM-mode runs.
+    online_loop_closure: bool = False
+    # Closure runs on every keyframe promotion (the natural SLAM trigger —
+    # a revisit only becomes closable once its keyframe exists) plus a
+    # periodic fallback every N frames.
+    loop_closure_every: int = 30
+    loop_closure_radius: float = 0.8  # candidate search radius (m)
     # Ring relocalization inside the device-resident scan twin
     # (parallel/batch.py).  Default OFF: under plain vmap both lax.cond
     # branches execute every step, so an always-on reloc branch would cost

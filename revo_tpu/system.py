@@ -223,6 +223,52 @@ class VOSystem:
         ordinal, kf = self.kf_history[len(self.kf_history) - 1 - int(idx)]
         return ordinal, kf, sel
 
+    def _online_loop_closure(self) -> int:
+        """Mid-run loop closure (TrackerConfig.online_loop_closure): close
+        verified revisits over the retained keyframe ring and propagate the
+        correction into the LIVE state — retained keyframes, pose-graph
+        anchors, the current keyframe, the past/voting rings (shifted by
+        the current keyframe's correction delta, since their recent frames
+        anchor to it) and the relocalization ring.  All relative state
+        (T_kf_curr, motion prior, solver init) is correction-invariant.
+        Returns the number of accepted loop edges."""
+        from revo_tpu.loopclosure import close_loops
+
+        if len(self.kf_history) < 3:
+            return 0
+        kfs = [kf for _, kf in self.kf_history]
+        ords = [o for o, _ in self.kf_history]
+        corrected, loops = close_loops(
+            kfs, self.cfg, radius=self.cfg.tracker.loop_closure_radius
+        )
+        if not loops:
+            return 0
+        corr = {}
+        for i, (o, kf) in enumerate(self.kf_history):
+            self.kf_history[i] = (
+                o, kf._replace(T_w_k=jnp.asarray(corrected[i]))
+            )
+            corr[o] = corrected[i]
+        for node in self.pose_graph:
+            if node.kf_ordinal in corr:
+                node.T_w_kf = corr[node.kf_ordinal]
+        if self.kf_ordinal_current in corr:
+            old = np.asarray(self.kf.T_w_k)
+            new = corr[self.kf_ordinal_current]
+            delta = jnp.asarray((new @ np.linalg.inv(old)).astype(np.float32))
+            self.kf = self.kf._replace(T_w_k=jnp.asarray(new))
+            self.past = self.past._replace(poses=delta @ self.past.poses)
+            self.past_voting = self.past_voting._replace(
+                poses=delta @ self.past_voting.poses
+            )
+        if self.reloc_ring is not None:
+            k = self.reloc_ring.T_w_k.shape[0]
+            Ts = np.asarray(self.reloc_ring.T_w_k).copy()
+            for i in range(min(len(self.kf_history), k)):
+                Ts[i] = np.asarray(self.kf_history[-1 - i][1].T_w_k)
+            self.reloc_ring = self.reloc_ring._replace(T_w_k=jnp.asarray(Ts))
+        return len(loops)
+
     # -- main entry ----------------------------------------------------------
 
     def process_frame(
@@ -359,6 +405,12 @@ class VOSystem:
 
         self.prev_frame = frame
         self.n_frames += 1
+        if cfg.tracker.online_loop_closure and (
+            self.just_added_kf  # promotion: a revisit just became closable
+            or self.n_frames % cfg.tracker.loop_closure_every == 0
+        ):
+            # node.T_w_curr below re-derives from the corrected anchor.
+            self._online_loop_closure()
         return node.T_w_curr
 
     def run(self, frames, pose_file: Optional[str] = None, viewer=None):

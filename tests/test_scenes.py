@@ -139,6 +139,42 @@ class TestLoopClosureEndToEnd:
             f"{ate_pre.rmse:.4f} -> {ate_post.rmse:.4f} m"
         )
 
+    def test_online_loop_closure_corrects_live_state(self):
+        """SLAM-mode: with TrackerConfig.online_loop_closure the revisit is
+        closed DURING the run and the correction propagates into the live
+        pose graph — the final graph beats the odometry-only run on the
+        same drift-injected loop, and tracking survives the in-place
+        correction (relative state is correction-invariant)."""
+        def run(online):
+            cfg = small_cfg()
+            cfg = dataclasses.replace(
+                cfg,
+                tracker=dataclasses.replace(
+                    cfg.tracker,
+                    kf_history_size=64,
+                    online_loop_closure=online,
+                    loop_closure_every=20,
+                ),
+            )
+            scene = box_scene()
+            traj = loop_trajectory(110, radius=0.75, wobble=0.004, seed=5)
+            vo = VOSystem(cfg)
+            for i, (gray, depth, T, ts) in enumerate(
+                render_trajectory(scene, cfg.camera, traj, seed=5)
+            ):
+                scale = 1.08 if 30 <= i < 60 else 1.0
+                vo.process_frame(gray, depth * scale, ts)
+            final = np.stack([n.T_w_curr for n in vo.pose_graph])
+            return absolute_trajectory_error(final, traj), vo
+
+        ate_off, _ = run(False)
+        ate_on, vo_on = run(True)
+        assert vo_on.n_tracking_lost == 0
+        assert ate_on.rmse < 0.85 * ate_off.rmse, (
+            f"online closure did not help: {ate_off.rmse:.4f} -> "
+            f"{ate_on.rmse:.4f} m"
+        )
+
     def test_false_loops_rejected_on_broken_run(self):
         """On a run whose tracking broke mid-loop (heavy depth corruption),
         candidates between drifted keyframes must NOT be verified — the
