@@ -321,6 +321,12 @@ def load_config(
         n_frames_histogram_voting=_get(
             algo, "N_FRAMES_HIST_VOTING", _get(algo, "nFramesHistogramVoting", 3)
         ),
+        # revo_tpu extensions (absent from reference YAMLs; keys are ours).
+        enable_relocalization=_get(algo, "ENABLE_RELOCALIZATION", True),
+        kf_history_size=_get(algo, "KF_HISTORY_SIZE", 5),
+        online_loop_closure=_get(algo, "ONLINE_LOOP_CLOSURE", False),
+        loop_closure_every=_get(algo, "LOOP_CLOSURE_EVERY", 30),
+        loop_closure_radius=_get(algo, "LOOP_CLOSURE_RADIUS", 0.8),
         optimizer=opt,
     )
     datasets = data.get("Datasets", ())
