@@ -135,15 +135,36 @@ def _tpu_fps(cfg, grays, depths) -> float:
     jax.block_until_ready(res)
     resident_fps = N_TIMED / (time.perf_counter() - t_start)
 
-    # (A lax.scan-chained variant of this step was measured at parity with
-    # the per-call resident number — the step is compute-bound, not
-    # dispatch-bound — and is omitted here to keep the bench's cold-compile
-    # budget under the driver timeout.)
+    # Scan-chained single sequence: N steps per dispatch (the replay
+    # deployment mode, parallel.batch.vo_scan).  Through the tunnel each
+    # execution costs ~2-4 ms beyond device time, so chaining measures the
+    # chip's real sustained rate (and on a normal host, true dispatch
+    # overhead).
+    if _budget_left() < 120.0:
+        return resident_fps, None, stream_fps, None, None
+    CHAIN = 8
+
+    @jax.jit
+    def chained_single(g, d, k, R, t):
+        def body(carry, _):
+            res = vo_step(g, d, k, carry[0], carry[1], cfg)
+            return (res.R, res.t), res.error
+
+        return jax.lax.scan(body, (R, t), None, length=CHAIN)
+
+    r = chained_single(g_dev[0], d_dev[0], kf, res.R, res.t)
+    jax.block_until_ready(r)
+    t_start = time.perf_counter()
+    n_chain_calls = max(N_TIMED // CHAIN, 2)
+    for _ in range(n_chain_calls):
+        r = chained_single(g_dev[0], d_dev[0], kf, r[0][0], r[0][1])
+    jax.block_until_ready(r)
+    scan_fps = n_chain_calls * CHAIN / (time.perf_counter() - t_start)
+
     if _budget_left() < 90.0:
-        return resident_fps, None, stream_fps, None
-    scan_fps = None
-    batch_fps = _batch_fps(cfg, vo_step, g_dev, d_dev, kf)
-    return resident_fps, scan_fps, stream_fps, batch_fps
+        return resident_fps, scan_fps, stream_fps, None, None
+    batch_fps, batch_percall_fps = _batch_fps(cfg, vo_step, g_dev, d_dev, kf)
+    return resident_fps, scan_fps, stream_fps, batch_fps, batch_percall_fps
 
 
 def _batch_fps(cfg, vo_step, g_dev, d_dev, kf):
@@ -184,7 +205,33 @@ def _batch_fps(cfg, vo_step, g_dev, d_dev, kf):
     for _ in range(n_batch_steps):
         resb = vstep(gb, db, kfb, resb.R, resb.t)
     jax.block_until_ready(resb)
-    return B * n_batch_steps / (time.perf_counter() - t_start)
+    percall_fps = B * n_batch_steps / (time.perf_counter() - t_start)
+
+    # Scan-chained batched steps: the batch-replay deployment mode
+    # (vo_scan_batched) — amortizes per-execution overhead exactly like
+    # the single-seq chained variant (measured 11.4 -> 7.5 ms/step through
+    # the tunnel, scripts/ab_chain.py).
+    CHAIN = 8
+
+    @jax.jit
+    def chained(g, d, k, R, t):
+        def body(carry, _):
+            r = jax.vmap(
+                lambda gg, dd, kk, RR, tt: vo_step(gg, dd, kk, RR, tt, cfg_b)
+            )(g, d, k, carry[0], carry[1])
+            return (r.R, r.t), r.error
+
+        return jax.lax.scan(body, (R, t), None, length=CHAIN)
+
+    r2 = chained(gb, db, kfb, resb.R, resb.t)
+    jax.block_until_ready(r2)
+    n2 = 3
+    t_start = time.perf_counter()
+    for _ in range(n2):
+        r2 = chained(gb, db, kfb, r2[0][0], r2[0][1])
+    jax.block_until_ready(r2)
+    chained_fps = B * n2 * CHAIN / (time.perf_counter() - t_start)
+    return chained_fps, percall_fps
 
 
 def _cpu_oracle_fps(cfg, grays, depths) -> float:
@@ -354,7 +401,13 @@ def main():
 
     th = threading.Thread(target=_oracle)
     th.start()
-    resident_fps, scan_fps, stream_fps, batch_fps = _tpu_fps(cfg, grays, depths)
+    (
+        resident_fps,
+        scan_fps,
+        stream_fps,
+        batch_fps,
+        batch_percall_fps,
+    ) = _tpu_fps(cfg, grays, depths)
     th.join()
     cpu_fps = oracle_out["fps"]
 
@@ -377,6 +430,11 @@ def main():
                 ),
                 "batch8_agg_fps": (
                     round(batch_fps, 2) if batch_fps is not None else None
+                ),
+                "batch8_percall_fps": (
+                    round(batch_percall_fps, 2)
+                    if batch_percall_fps is not None
+                    else None
                 ),
                 "streaming_fps_tunnel": round(stream_fps, 2),
             }
