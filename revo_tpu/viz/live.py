@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Optional
 
 import numpy as np
 
@@ -43,7 +42,7 @@ class LiveViewer:
 
         viewer = LiveViewer(out_dir, every=5)
         ...
-        viewer.update(vo, frame, gray, pose, frame_idx)   # cheap, non-blocking
+        viewer.update(vo, frame, pose, frame_idx)   # cheap, non-blocking
         ...
         viewer.close()
     """
