@@ -66,6 +66,28 @@ class TestVOScan:
             ate = absolute_trajectory_error(np.asarray(poses[b]), gt)
             assert ate.rmse < 0.02, f"seq {b}: ATE {ate.rmse * 100:.2f} cm"
 
+    def test_multi_seed_accuracy_gate(self):
+        """CI-light version of the 12-seed x 100-frame offline sweep
+        (STATUS.md accuracy envelope): 8 random handheld trajectories x 40
+        frames in ONE batched dispatch, every seed must stay sub-centimetre.
+        Offline probe measured 0.14-0.47 cm across these seeds; gate at
+        0.8 cm so a single-seed regression (e.g. an init-check or voting
+        change that breaks one basin) trips it without flaking."""
+        cfg = small_cfg()
+        seqs = [_render_stack(cfg, 40, seed=s) for s in range(8)]
+        grays = jnp.stack([s[0] for s in seqs])
+        depths = jnp.stack([s[1] for s in seqs])
+        poses = np.asarray(vo_scan_batched(grays, depths, cfg))
+        ates = [
+            absolute_trajectory_error(poses[b], seqs[b][2]).rmse
+            for b in range(8)
+        ]
+        worst = max(ates)
+        assert worst < 0.008, (
+            f"worst seed ATE {worst * 100:.2f} cm "
+            f"({['%.2f' % (a * 100) for a in ates]})"
+        )
+
     def test_batched_shard_map_matches_vmap(self):
         cfg = small_cfg()
         seqs = [_render_stack(cfg, 6, seed=s) for s in range(8)]
