@@ -78,6 +78,22 @@ def _default_planes() -> List[Plane]:
     ]
 
 
+@dataclasses.dataclass
+class Cylinder:
+    """Vertical textured cylinder (axis along +y through (x, z) = center).
+
+    Curved-surface regime: depth varies nonlinearly across the surface and
+    the silhouette is view-dependent (the occluding contour slides around
+    the cylinder as the camera moves) — unlike planes (affine depth) and
+    boxes (piecewise-planar with fixed crease edges)."""
+
+    center: np.ndarray  # (2,) axis position in x, z
+    radius: float
+    ylo: float
+    yhi: float
+    phase: float = 0.0
+
+
 def box_faces(
     center, half_size, phase0: float = 0.0
 ) -> List[Plane]:
@@ -123,6 +139,22 @@ def box_scene(**kw) -> "SyntheticScene":
     planes += box_faces((-0.25, 0.45, 1.9), (0.22, 0.16, 0.18), phase0=4.2)
     planes += box_faces((0.42, -0.05, 2.45), (0.18, 0.26, 0.15), phase0=7.9)
     return SyntheticScene(planes=planes, **kw)
+
+
+def column_scene(**kw) -> "SyntheticScene":
+    """Curved-surface scene family: the textured room plus two cylindrical
+    columns.  Depth varies nonlinearly across each column and the occluding
+    contour slides around the surface as the camera moves — silhouette
+    edges here are not attached to any fixed 3-D crease, the hardest edge
+    regime for DT alignment (boxes at least keep their crease edges)."""
+    planes = _default_planes()[:3]  # walls + floor only
+    cyls = [
+        Cylinder(center=np.array([-0.32, 2.05]), radius=0.17,
+                 ylo=-0.8, yhi=1.0, phase=5.1),
+        Cylinder(center=np.array([0.45, 2.55]), radius=0.24,
+                 ylo=-0.9, yhi=1.0, phase=8.6),
+    ]
+    return SyntheticScene(planes=planes, cylinders=cyls, **kw)
 
 
 def loop_trajectory(
@@ -206,6 +238,7 @@ class SyntheticScene:
     """Scene + trajectory generator."""
 
     planes: List[Plane] = dataclasses.field(default_factory=_default_planes)
+    cylinders: List[Cylinder] = dataclasses.field(default_factory=list)
     depth_noise: float = 0.0  # metres, gaussian
     depth_hole_frac: float = 0.0
 
@@ -270,6 +303,28 @@ def render_frame(
             ulo, uhi, vlo, vhi = pl.bounds
             hit = hit & (u >= ulo) & (u <= uhi) & (v >= vlo) & (v <= vhi)
         tex = _texture(u, v, pl.phase)
+        gray = np.where(hit, tex, gray)
+        best_t = np.where(hit, t, best_t)
+
+    for cyl in scene.cylinders:
+        # Ray-cylinder (axis || y through center): quadratic in t on the
+        # (x, z) components; the near root is the visible surface (the
+        # camera stays outside the columns in these scenes).
+        ox, oz = o[0] - cyl.center[0], o[2] - cyl.center[1]
+        dx, dz = d_world[..., 0], d_world[..., 2]
+        a = dx * dx + dz * dz
+        b = 2.0 * (ox * dx + oz * dz)
+        c = ox * ox + oz * oz - cyl.radius * cyl.radius
+        disc = b * b - 4.0 * a * c
+        safe = disc > 0
+        sq = np.sqrt(np.where(safe, disc, 0.0))
+        t = (-b - sq) / np.where(np.abs(a) < 1e-12, 1e-12, 2.0 * a)
+        y = o[1] + t * d_world[..., 1]
+        hit = safe & (t > 0.05) & (t < best_t) & (y >= cyl.ylo) & (y <= cyl.yhi)
+        xs = ox + t * dx
+        zs = oz + t * dz
+        u = np.arctan2(xs, zs) * cyl.radius  # arc length around the surface
+        tex = _texture(u, y, cyl.phase)
         gray = np.where(hit, tex, gray)
         best_t = np.where(hit, t, best_t)
 

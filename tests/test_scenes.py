@@ -14,6 +14,7 @@ from revo_tpu.config import SystemConfig
 from revo_tpu.eval import absolute_trajectory_error
 from revo_tpu.io.synthetic import (
     box_scene,
+    column_scene,
     loop_trajectory,
     render_sequence,
     render_trajectory,
@@ -75,6 +76,41 @@ class TestBoxScene:
         )
         ate = absolute_trajectory_error(est, gt)
         assert ate.rmse < 0.03, f"noisy box-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+
+class TestColumnScene:
+    """Cylindrical columns: curved surfaces whose depth varies nonlinearly
+    and whose silhouette (occluding contour) slides around the surface as
+    the camera moves — unlike boxes, these edges are attached to no fixed
+    3-D crease, so the keyframe's edge set genuinely deforms between
+    views.  Third scene family of the accuracy envelope."""
+
+    def test_tracks_on_curved_surfaces(self):
+        cfg = small_cfg()
+        scene = column_scene()
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=4)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.015, f"column-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_fast_motion_5x_tracks(self):
+        """Column-family fast-motion envelope: 5x handheld (~4 cm/frame)
+        tracks at sub-cm (probed 0.38 cm); the measured break point is
+        between 5x and 7.5x (7.5x ATE 0.69 m) — same envelope as the box
+        family, documented in STATUS.md."""
+        cfg = small_cfg()
+        scene = column_scene()
+        traj = scene.trajectory(
+            40, seed=6, translation_step=0.04, rotation_step=0.015
+        )
+        est, gt, vo = _run(
+            cfg, scene, render_trajectory(scene, cfg.camera, traj, seed=6)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"5x fast-motion ATE {ate.rmse:.4f} m"
         assert vo.n_tracking_lost == 0
 
 
