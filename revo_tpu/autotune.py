@@ -31,6 +31,18 @@ def fit_capacities(
     capacity = round_up(max_count * margin, quantum), at least ``minimum``.
     ``counts_per_level[lvl]`` is an iterable of observed counts for that
     pyramid level.
+
+    ``margin`` doubles as the throughput/accuracy knob: margin > 1 leaves
+    headroom so no frame ever decimates (tracking results bit-identical to
+    unbounded capacity); margin < 1 deliberately undersizes the cloud so
+    the rank compaction's uniform stride decimation subsamples the edge
+    set every frame.  Solver gather cost is per-index, so time scales
+    ~linearly with capacity (measured: margin 0.5 doubled batched
+    aggregate fps, 1083 -> 2208 at B=8 640x480) while the accuracy gates
+    degrade only fractionally (640x480 box ATE 0.059 -> 0.101 cm; all
+    stress families sub-centimetre, scripts/probes/cap_{ate,robust}.py).
+    The 0.5 operating point is accuracy-gated in tests/test_scenes.py and
+    tests/test_autotune.py.
     """
     caps = []
     for counts in counts_per_level:

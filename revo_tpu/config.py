@@ -70,8 +70,13 @@ class PyramidConfig:
     # lost single-seq (10.0 vs 8.0 ms/step); after the bincount locator,
     # triangular-matmul cumsum and fused depth it wins BOTH contexts
     # (v5e ab_track: rank 3.64 ms/step vs scatter 6.78; ab_batch B=8
-    # rank 18.0 ms).  Outputs are bit-identical (fuzz-gated).
-    compaction: str = "rank"
+    # rank 18.0 ms).  "rank_sort" further replaces the in-block one-hot
+    # rank->position contraction (O(BLK^2) multiply-reduces per block,
+    # the largest frontend fusion at B=8) with a lane sort keyed on the
+    # in-block cumsum — measured 7.34 -> 6.46 ms/vary-chained-step at B=8
+    # cap50, 9.5 ms at exact-fit vs 10.9 (scripts/probes/ab_table.py).
+    # All three forms are bit-identical (fuzz-gated in test_ops).
+    compaction: str = "rank_sort"
     n_percentage: float = 0.3  # occupancy threshold for fill-in
     # Patch sizes of the per-level edge-occupancy histogram; "chosen in a way
     # that we always get 32x24 patches for 3 levels starting from 640x480"

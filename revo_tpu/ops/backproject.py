@@ -75,7 +75,9 @@ def _compact_scatter(valid_px: jax.Array, capacity: int):
     return idx, lane_valid, count
 
 
-def _compact_rank(valid_px: jax.Array, capacity: int, aux=None):
+def _compact_rank(
+    valid_px: jax.Array, capacity: int, aux=None, table_impl: str = "reduce"
+):
     """Gather-form stream compaction: identical output to _compact_scatter,
     computed per OUTPUT slot instead of per pixel.
 
@@ -159,26 +161,48 @@ def _compact_rank(valid_px: jax.Array, capacity: int, aux=None):
     k = q - prev  # in-block rank
 
     # inpos[b, r] = offset of the (r+1)-th edge inside block b.
-    r1 = jnp.arange(1, _BLK + 1, dtype=jnp.float32)
-    i_idx = jnp.arange(_BLK, dtype=jnp.float32)
-    hit = (C[:, None, :] == r1[None, :, None]) & (v[:, None, :] > 0)
-    hitf = hit.astype(jnp.float32)
-    inpos_f = (hitf * i_idx[None, None, :]).sum(axis=2)
-
     bo = jnp.minimum(block_of, nb - 1)
     kc = jnp.clip(k, 0, _BLK - 1)
     lane_valid = over | (j < count)
+    i_idx = jnp.arange(_BLK, dtype=jnp.float32)
+
+    if aux is not None:
+        a = jnp.pad(
+            aux.ravel().astype(jnp.float32), (0, pad)
+        ).reshape(nb, _BLK)
+        # Non-finite aux entries sit on invalid pixels (never selected),
+        # but 0 * NaN = NaN would poison the reduce form — sanitize.
+        a = jnp.where(jnp.isfinite(a), a, 0.0)
+
+    if table_impl == "sort":
+        # Lane sort: key = in-block rank for valid lanes (C is the
+        # inclusive cumsum, so valid lanes carry distinct keys 1..count),
+        # BLK+2 for invalid ones.  Ascending sort puts the rank-(r+1)
+        # edge's lane index (and aux) at column r — the same table as the
+        # one-hot contraction below in O(BLK log^2 BLK) compare-exchange
+        # passes instead of O(BLK^2) multiply-reduces per block.
+        keys = jnp.where(v > 0, C, jnp.float32(_BLK + 2))
+        ib = jnp.broadcast_to(i_idx, (nb, _BLK))
+        if aux is None:
+            _, inpos_f = jax.lax.sort_key_val(keys, ib, dimension=1)
+        else:
+            _, inpos_f, auxpos = jax.lax.sort(
+                (keys, ib, a), dimension=1, num_keys=1
+            )
+    else:
+        r1 = jnp.arange(1, _BLK + 1, dtype=jnp.float32)
+        hit = (C[:, None, :] == r1[None, :, None]) & (v[:, None, :] > 0)
+        hitf = hit.astype(jnp.float32)
+        inpos_f = (hitf * i_idx[None, None, :]).sum(axis=2)
+        if aux is not None:
+            auxpos = (hitf * a[:, None, :]).sum(axis=2)  # (nb, BLK)
+
     if aux is None:
         flatpos = jnp.take(
             inpos_f.reshape(-1), bo * _BLK + kc
         ).astype(jnp.int32)
         idx = bo * _BLK + flatpos
         return jnp.where(lane_valid, idx, 0), lane_valid, count
-    a = jnp.pad(aux.ravel().astype(jnp.float32), (0, pad)).reshape(nb, _BLK)
-    # Non-finite aux entries sit on invalid pixels (hitf == 0 there), but
-    # 0 * NaN = NaN would poison the whole block's reduce — sanitize.
-    a = jnp.where(jnp.isfinite(a), a, 0.0)
-    auxpos = (hitf * a[:, None, :]).sum(axis=2)  # (nb, BLK)
     table = jnp.stack([inpos_f, auxpos], axis=-1).reshape(nb * _BLK, 2)
     rows = jnp.take(table, bo * _BLK + kc, axis=0)  # (cap, 2)
     flatpos = rows[:, 0].astype(jnp.int32)
@@ -210,10 +234,15 @@ def backproject_edges(
         & (depth > depth_min)
         & (depth < depth_max)
     )
-    if compaction == "rank":
+    if compaction.startswith("rank"):
         # Depth rides the rank structure: one fused (offset, z) row take
-        # replaces the separate per-point depth gather.
-        idx, lane_valid, count, z = _compact_rank(valid_px, capacity, depth)
+        # replaces the separate per-point depth gather.  "rank_sort" builds
+        # the in-block rank tables with a lane sort instead of the one-hot
+        # contraction (identical output; see _compact_rank).
+        idx, lane_valid, count, z = _compact_rank(
+            valid_px, capacity, depth,
+            table_impl="sort" if compaction == "rank_sort" else "reduce",
+        )
         yi = idx // w
         xi = idx % w
     else:

@@ -19,6 +19,7 @@ import numpy as np
 
 def _run_dataset(
     cfg, dataset: str, out_dir: str, gt_file=None, auto_capacity: int = 0,
+    capacity_scale: float = 1.15,
     close_loops_flag: bool = False, live_view: bool = False,
     windowed_ba_flag: bool = False, export_ply: bool = False,
 ) -> None:
@@ -52,7 +53,8 @@ def _run_dataset(
             for a in assocs[:auto_capacity]
         ]
         cfg = calibrate_capacities(
-            cfg, [p[0] for p in probe], [p[1] for p in probe]
+            cfg, [p[0] for p in probe], [p[1] for p in probe],
+            margin=capacity_scale,
         )
         print(f"[revo_tpu] calibrated edge_capacity = "
               f"{cfg.pyramid.edge_capacity}")
@@ -321,6 +323,16 @@ def main(argv=None) -> int:
              "(TPU shape-bucketing; see revo_tpu.autotune)",
     )
     parser.add_argument(
+        "--capacity-scale", type=float, default=1.15, metavar="S",
+        help="capacity = S * observed max edge count (with --auto-capacity)."
+             " S > 1 leaves headroom (exact tracking, the default); S < 1 "
+             "deliberately undersizes so the uniform stride decimation "
+             "subsamples edges every frame — solver time scales ~linearly "
+             "with S while accuracy degrades only fractionally (the 0.5 "
+             "operating point is accuracy-gated in tests; see "
+             "revo_tpu.autotune)",
+    )
+    parser.add_argument(
         "--export-ply", action="store_true",
         help="export the map model as PLY (colored keyframe cloud, "
              "keyframe frusta, trajectory) — the viewer's saveModel "
@@ -367,7 +379,8 @@ def main(argv=None) -> int:
                 seed=args.seed,
             ))
             cfg = calibrate_capacities(
-                cfg, [f[0] for f in probe], [f[1] for f in probe]
+                cfg, [f[0] for f in probe], [f[1] for f in probe],
+                margin=args.capacity_scale,
             )
             print(f"[revo_tpu] calibrated edge_capacity = "
                   f"{cfg.pyramid.edge_capacity}")
@@ -388,6 +401,7 @@ def main(argv=None) -> int:
         _run_dataset(
             cfg, ds, args.out, gt_file=args.gt,
             auto_capacity=args.auto_capacity,
+            capacity_scale=args.capacity_scale,
             close_loops_flag=args.close_loops,
             live_view=args.live_view,
             windowed_ba_flag=args.windowed_ba,

@@ -16,7 +16,6 @@ FORM = sys.argv[1] if len(sys.argv) > 1 else "dt4bf"
 cfg = SystemConfig()
 cfg_b = dataclasses.replace(
     cfg,
-    pyramid=dataclasses.replace(cfg.pyramid, compaction="rank"),
     tracker=dataclasses.replace(
         cfg.tracker,
         optimizer=dataclasses.replace(
@@ -24,7 +23,17 @@ cfg_b = dataclasses.replace(
         ),
     ),
 )
+import os
+_cap = float(os.environ.get("CAP_SCALE", "0"))
 frames = list(render_sequence(SyntheticScene(), cfg.camera, 3, seed=0))
+if _cap > 0:
+    from revo_tpu.autotune import calibrate_capacities
+
+    cfg_b = calibrate_capacities(
+        cfg_b, [frames[0][0]], [frames[0][1]], margin=_cap
+    )
+    print(f"CAP_SCALE={_cap} caps={cfg_b.pyramid.edge_capacity}", flush=True)
+cfg = cfg_b
 g1 = frames[1][0].astype(np.uint8)
 d1 = (frames[1][1] * 5000).astype(np.uint16)
 f0 = build_frame(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg_b)

@@ -23,12 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite's CPU compiles dominate its runtime;
 # caching them makes re-runs far cheaper (keyed on HLO hash, so code
-# changes invalidate safely).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# changes invalidate safely).  REVO_TPU_NO_CACHE=1 disables it (cache
+# on/off is the first bisection step for interpreter-level crashes).
+if not os.environ.get("REVO_TPU_NO_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -37,3 +39,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_inprocess_jax_state():
+    """Clear jit/executable caches after each test module.
+
+    The full suite deterministically segfaulted ~130 tests in (inside an
+    XLA:CPU execution; same spot with the persistent cache disabled and
+    with an exclusive machine, while the crashing test passes in
+    isolation) — in-process executable accumulation is the trigger.
+    Clearing per module bounds it; the persistent on-disk cache keeps the
+    re-compiles cheap."""
+    yield
+    jax.clear_caches()

@@ -42,6 +42,33 @@ class TestOverflowDegradation:
         assert report.tracking_lost == 0
         assert ate < 0.03, f"decimated ATE {ate * 100:.2f} cm"
 
+    def test_cap50_operating_point_fast_motion(self):
+        """The capacity-0.5 throughput point (margin=0.5: deliberate
+        uniform decimation, ~2x batched fps — see autotune docstring and
+        scripts/probes/cap_{ate,speed,robust}.py) holds up under the
+        harshest stress family: 5x-handheld motion on the occlusion scene
+        (probed 0.68 cm vs 0.50 exact)."""
+        from revo_tpu.io.synthetic import box_scene, render_trajectory
+        from revo_tpu.system import VOSystem
+
+        cfg = small_cfg()
+        scene = box_scene()
+        traj = scene.trajectory(
+            30, seed=6, translation_step=0.04, rotation_step=0.015
+        )
+        frames = list(render_trajectory(scene, cfg.camera, traj, seed=6))
+        cfg = calibrate_capacities(
+            cfg, [frames[0][0]], [frames[0][1]], margin=0.5
+        )
+        vo = VOSystem(cfg)
+        est = np.stack(
+            [vo.process_frame(g, d, ts) for g, d, _, ts in frames]
+        )
+        gt = np.stack([f[2] for f in frames])
+        ate = absolute_trajectory_error(est, gt).rmse
+        assert vo.n_tracking_lost == 0
+        assert ate < 0.02, f"cap50 5x-motion ATE {ate * 100:.2f} cm"
+
 
 class TestCalibratedParity:
     def test_vo_matches_uncalibrated(self):

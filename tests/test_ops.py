@@ -400,14 +400,17 @@ class TestBackproject:
         ]
         for mask, cap in cases:
             ia, va, ca = _compact_scatter(jnp.asarray(mask), cap)
-            ib, vb, cb = _compact_rank(jnp.asarray(mask), cap)
-            assert int(ca) == int(cb)
-            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
-            np.testing.assert_array_equal(
-                np.asarray(ia) * np.asarray(va),
-                np.asarray(ib) * np.asarray(vb),
-                err_msg=f"cap={cap} count={int(ca)}",
-            )
+            for impl in ("reduce", "sort"):
+                ib, vb, cb = _compact_rank(
+                    jnp.asarray(mask), cap, table_impl=impl
+                )
+                assert int(ca) == int(cb)
+                np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+                np.testing.assert_array_equal(
+                    np.asarray(ia) * np.asarray(va),
+                    np.asarray(ib) * np.asarray(vb),
+                    err_msg=f"cap={cap} count={int(ca)} impl={impl}",
+                )
 
     def test_rank_fused_depth_survives_nan(self):
         """NaN/inf depths sit on invalid pixels, but 0 * NaN = NaN would
@@ -426,15 +429,19 @@ class TestBackproject:
         a = backproject_edges(
             jnp.asarray(edges), jnp.asarray(depth), compaction="scatter", **kw
         )
-        b = backproject_edges(
-            jnp.asarray(edges), jnp.asarray(depth), compaction="rank", **kw
-        )
-        assert int(a.count) == int(b.count)
-        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
-        assert np.isfinite(np.asarray(b.points)).all()
-        np.testing.assert_allclose(
-            np.asarray(a.points), np.asarray(b.points), rtol=0, atol=0
-        )
+        for rank_impl in ("rank", "rank_sort"):
+            b = backproject_edges(
+                jnp.asarray(edges), jnp.asarray(depth),
+                compaction=rank_impl, **kw
+            )
+            assert int(a.count) == int(b.count)
+            np.testing.assert_array_equal(
+                np.asarray(a.valid), np.asarray(b.valid)
+            )
+            assert np.isfinite(np.asarray(b.points)).all()
+            np.testing.assert_allclose(
+                np.asarray(a.points), np.asarray(b.points), rtol=0, atol=0
+            )
 
 
 class TestEdgeHist:

@@ -127,6 +127,25 @@ class TestFullResolution:
         assert ate.rmse < 0.005, f"640x480 ATE {ate.rmse:.4f} m"
         assert vo.n_tracking_lost == 0
 
+    def test_ate_gate_640x480_decimated(self):
+        """The same full-resolution gate at the capacity-0.5 throughput
+        operating point (deliberate uniform edge decimation; the bench's
+        cap50 numbers and run.py --capacity-scale 0.5): accuracy must stay
+        inside the SAME gate as the exact-fit run (probed 0.101 cm vs
+        0.059 exact; scripts/probes/cap_ate.py)."""
+        from revo_tpu.autotune import calibrate_capacities
+
+        cfg = SystemConfig()
+        scene = box_scene()
+        frames = list(render_sequence(scene, cfg.camera, 22, seed=2))
+        cfg = calibrate_capacities(
+            cfg, [frames[0][0]], [frames[0][1]], margin=0.5
+        )
+        est, gt, vo = _run(cfg, scene, frames)
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.005, f"cap50 640x480 ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
 
 class TestLoopClosureEndToEnd:
     def test_loop_closure_reduces_ate(self):
