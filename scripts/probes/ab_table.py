@@ -2,6 +2,9 @@
 inside the honest varying-frame chained batched step.
 
     TABLE=rank_sort CAP=0.5 timeout 580 python scripts/probes/ab_table.py
+
+The chaining protocol (phase-shifted varying frames, identity init per
+dispatch, divergence-checked) is shared with bench.py — fix it there once.
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
@@ -13,6 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench import chain_of, phase_stack
 from revo_tpu import tracker
 from revo_tpu.autotune import calibrate_capacities
 from revo_tpu.config import SystemConfig
@@ -54,11 +58,11 @@ def main():
     kf = make_keyframe(f0, jnp.eye(4), cfg)
     kfb = jax.tree.map(lambda x: jnp.stack([x] * B), kf)
     jax.block_until_ready(kfb.structs)
-    gs = jnp.stack(
-        [jnp.stack([jnp.asarray(frames[1 + i][0])] * B) for i in range(CHAIN)]
+    gs = phase_stack(
+        [jnp.asarray(frames[1 + i][0]) for i in range(CHAIN)], B, CHAIN
     )
-    ds = jnp.stack(
-        [jnp.stack([jnp.asarray(frames[1 + i][1])] * B) for i in range(CHAIN)]
+    ds = phase_stack(
+        [jnp.asarray(frames[1 + i][1]) for i in range(CHAIN)], B, CHAIN
     )
     Rb = jnp.stack([jnp.eye(3)] * B)
     tb = jnp.stack([jnp.zeros(3)] * B)
@@ -67,27 +71,19 @@ def main():
         f = build_frame(g, d, cfg)
         return tracker.track_frames(k, f, R, t, cfg)
 
-    @jax.jit
-    def chained(gs, ds, k, R, t):
-        def body(carry, gd):
-            res = jax.vmap(step)(gd[0], gd[1], k, carry[0], carry[1])
-            return (res.R, res.t), res.error
-
-        (Rf, tf), errs = jax.lax.scan(body, (R, t), (gs, ds))
-        return Rf, tf, errs
-
+    chained = chain_of(jax.vmap(step))
     r = chained(gs, ds, kfb, Rb, tb)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
     n = 8
     for _ in range(n):
-        r = chained(gs, ds, kfb, r[0], r[1])
+        r = chained(gs, ds, kfb, Rb, tb)
     jax.block_until_ready(r)
     per = (time.perf_counter() - t0) / (n * CHAIN) * 1e3
     print(
         f"table={TABLE} cap={CAP} caps={cfg.pyramid.edge_capacity} "
         f"B8 vary-chain {per:6.2f} ms/step (agg {B/per*1e3:6.1f} fps) "
-        f"err={np.asarray(r[2])[-1,0]:.4f}",
+        f"err={np.asarray(r[1][0])[-1,0]:.4f}",
         flush=True,
     )
 

@@ -20,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tests"))
 
 from revo_tpu.autotune import calibrate_capacities
 from revo_tpu.config import SystemConfig
@@ -33,7 +33,7 @@ from revo_tpu.io.synthetic import (
 from revo_tpu.system import VOSystem
 
 
-def run(cfg, scene, frames):
+def run(cfg, frames):
     vo = VOSystem(cfg)
     est, gt = [], []
     for gray, depth, T, ts in frames:
@@ -54,15 +54,13 @@ def main():
     for s in scales:
         cfg = calibrate_capacities(base, grays, depths, margin=s)
         t0 = time.time()
-        rmse, lost = run(cfg, scene, frames)
+        rmse, lost = run(cfg, frames)
         print(
             f"640x480 box  scale={s:.2f} caps={cfg.pyramid.edge_capacity} "
             f"ATE={rmse*100:.3f} cm lost={lost} ({time.time()-t0:.0f}s)",
             flush=True,
         )
     # --- small multi-seed plane family ---
-    import dataclasses
-
     from test_solver import small_cfg
 
     sb = small_cfg()
@@ -75,7 +73,7 @@ def main():
             cfg = calibrate_capacities(
                 sb, [frames[0][0]], [frames[0][1]], margin=s
             )
-            rmse, lost = run(cfg, scn, frames)
+            rmse, lost = run(cfg, frames)
             rmses.append(rmse)
             lost_tot += lost
         print(

@@ -14,7 +14,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tests"))
 
 from revo_tpu.autotune import calibrate_capacities
 from revo_tpu.eval import absolute_trajectory_error
