@@ -162,18 +162,22 @@ def loop_trajectory(
     radius: float = 0.25,
     wobble: float = 0.004,
     seed: int = 0,
+    circuits: int = 1,
 ) -> np.ndarray:
-    """Closed-loop trajectory (N, 4, 4): one full lateral circuit in the
-    x-y plane with gentle yaw, returning exactly to the start — the
+    """Closed-loop trajectory (N, 4, 4): ``circuits`` full lateral circuits
+    in the x-y plane with gentle yaw, returning exactly to the start — the
     revisit geometry loop-closure needs (pose[N-1] ~ pose[0], and frames
-    near the end re-observe the first keyframes' views)."""
+    near the end re-observe the first keyframes' views).  With
+    ``circuits=2`` (a double circuit) every azimuth is visited twice, so
+    multiple independent loop edges exist along the whole path — the
+    multi-loop gate geometry (VERDICT r2 item 4)."""
     from revo_tpu import lie
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     poses = []
     for i in range(n_frames):
-        a = 2.0 * np.pi * i / (n_frames - 1)
+        a = circuits * 2.0 * np.pi * i / (n_frames - 1)
         # lateral circle + slight look-around yaw, plus smooth wobble
         t = np.array(
             [
@@ -241,6 +245,17 @@ class SyntheticScene:
     cylinders: List[Cylinder] = dataclasses.field(default_factory=list)
     depth_noise: float = 0.0  # metres, gaussian
     depth_hole_frac: float = 0.0
+    # Photometric corruption of the intensity channel (the reference
+    # consumes real sensor images, iowrapperRGBD.cpp:325-327; these model
+    # the sensor artifacts a pristine render lacks, so the Canny edge set
+    # is no longer unrealistically stable between frames).  Break points
+    # per corruption are measured in scripts/probes/photo_break.py and
+    # gated per scene family in tests/test_scenes.py.
+    image_noise: float = 0.0  # gaussian read noise, gray levels (std)
+    shot_noise: float = 0.0  # signal-dependent noise: std at full scale
+    image_blur: float = 0.0  # gaussian defocus/motion blur sigma, px
+    exposure_drift: float = 0.0  # per-frame gain flicker amplitude (+bias)
+    vignette: float = 0.0  # radial falloff: corners lose this fraction
 
     def trajectory(self, n_frames: int, seed: int = 0,
                    translation_step: float = 0.008,
@@ -339,7 +354,46 @@ def render_frame(
             depth = np.where(
                 rng.random(depth.shape) < scene.depth_hole_frac, 0.0, depth
             )
+    gray = _apply_photometric(scene, cam, gray, seed)
     return np.round(np.clip(gray, 0, 255)).astype(np.float32), depth
+
+
+def _apply_photometric(
+    scene: SyntheticScene, cam: CameraConfig, gray: np.ndarray, seed: int
+) -> np.ndarray:
+    """Sensor-artifact model on the intensity channel, applied in optical
+    order: vignette (lens, scene-fixed) -> exposure gain/bias flicker
+    (per frame) -> defocus blur -> shot + read noise."""
+    if not (
+        scene.vignette > 0
+        or scene.exposure_drift > 0
+        or scene.image_blur > 0
+        or scene.image_noise > 0
+        or scene.shot_noise > 0
+    ):
+        return gray
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    h, w = gray.shape
+    if scene.vignette > 0:
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = ((xx - cam.cx) / (w / 2)) ** 2 + ((yy - cam.cy) / (h / 2)) ** 2
+        gray = gray * (1.0 - scene.vignette * np.clip(r2 / 2.0, 0.0, 1.0))
+    if scene.exposure_drift > 0:
+        gain = 1.0 + rng.uniform(-scene.exposure_drift, scene.exposure_drift)
+        bias = rng.uniform(-20.0, 20.0) * scene.exposure_drift
+        gray = gain * gray + bias
+    if scene.image_blur > 0:
+        import cv2
+
+        gray = cv2.GaussianBlur(
+            gray.astype(np.float32), (0, 0), scene.image_blur
+        )
+    if scene.shot_noise > 0:
+        amp = scene.shot_noise * np.sqrt(np.clip(gray, 0.0, None) / 255.0)
+        gray = gray + amp * rng.standard_normal(gray.shape)
+    if scene.image_noise > 0:
+        gray = gray + rng.normal(scale=scene.image_noise, size=gray.shape)
+    return gray
 
 
 def render_sequence(

@@ -274,6 +274,80 @@ def make_pairs(n_frames: int, radius: int = 2):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "opt", "lvl"))
+def measure_overlap(
+    window: Window, cam: CameraConfig, opt: OptimizerConfig, lvl: int = 0
+) -> jax.Array:
+    """(W, W) measured view overlap: fraction of frame j's valid edge
+    points that project in-bounds into frame i AND land within frame i's
+    edge-distance band — exactly the residual support the joint optimizer
+    will use, evaluated at the current pose estimates.  One vmapped
+    dispatch over all ordered pairs; diagonal zeroed."""
+    n = window.poses.shape[0]
+    huber = opt.huber_edge
+    edge_distance = opt.edge_distance_lvl[lvl]
+
+    def one(i, j):
+        _, _, _, _, good = _pair_system(
+            window.structs[i], window.points[j], window.valid[j],
+            window.poses[i], window.poses[j], cam, huber, edge_distance,
+        )
+        denom = jnp.maximum(window.valid[j].sum(), 1)
+        return good.sum() / denom
+
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    O = jax.vmap(jax.vmap(one))(ii, jj)
+    return O * (1.0 - jnp.eye(n, dtype=O.dtype))
+
+
+def make_pairs_overlap(
+    window: Window,
+    cam: CameraConfig,
+    opt: OptimizerConfig,
+    lvl: int = 0,
+    min_overlap: float = 0.25,
+    max_pairs: int | None = None,
+):
+    """Co-visibility pairs from MEASURED view overlap instead of the fixed
+    +-radius index ring: any pair whose overlap fraction clears
+    ``min_overlap`` contributes, weighted by its overlap — so revisit
+    pairs far apart in time (loop closures) enter the window while
+    non-overlapping index neighbours drop out.  The reference stubs this
+    entire capability (optimizer.h:164-165).
+
+    Falls back to the +-1 ring when nothing clears the threshold (a window
+    must stay connected to be solvable).
+    """
+    import numpy as np
+
+    O = np.asarray(measure_overlap(window, cam, opt, lvl))
+    n = O.shape[0]
+    cand = sorted(
+        ((float(O[i, j]), i, j) for i in range(n) for j in range(n)
+         if i != j and O[i, j] >= min_overlap),
+        reverse=True,
+    )
+    if max_pairs is not None:
+        cand = cand[:max_pairs]
+    if not cand:
+        return make_pairs(n, radius=1)
+    # Keep the odometry chain connected even if some consecutive pair
+    # dipped under the threshold (gauge connectivity).
+    have = {(i, j) for _, i, j in cand}
+    floor = float(np.median([w for w, _, _ in cand]))
+    for k in range(n - 1):
+        for (i, j) in ((k, k + 1), (k + 1, k)):
+            if (i, j) not in have:
+                cand.append((min(floor, max(float(O[i, j]), 0.05)), i, j))
+    pw = np.array([w for w, _, _ in cand], np.float32)
+    pw *= len(pw) / max(pw.sum(), 1e-6)  # mean weight 1, like the ring
+    return (
+        jnp.asarray([i for _, i, _ in cand], jnp.int32),
+        jnp.asarray([j for _, _, j in cand], jnp.int32),
+        jnp.asarray(pw),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("cam", "opt", "lvl", "iters")
 )
@@ -360,6 +434,7 @@ def refine_keyframes(
     radius: int = 2,
     iters_per_lvl=(6, 4, 4),
     damping: float = 1.0,
+    pairs: str = "overlap",
 ):
     """Post-run windowed refinement over a keyframe list (the CLI-facing
     entry: run.py --windowed-ba).
@@ -370,6 +445,11 @@ def refine_keyframes(
     Returns refined world poses (K, 4, 4) as NumPy.  This is the
     capability the reference declares and never ships
     (windowedoptimization, CMakeLists.txt:152-153; optimizer.h:164-165).
+
+    ``pairs``: "overlap" (default) derives the co-visibility set + weights
+    from measured view overlap at the coarsest level (revisit pairs enter,
+    blind index-neighbours drop; make_pairs_overlap); "ring" keeps the
+    fixed +-radius index ring.
     """
     import numpy as _np
 
@@ -395,7 +475,13 @@ def refine_keyframes(
                 poses=poses0,
             )
         )
-    pi, pj, pw = make_pairs(len(keyframes), radius)
+    if pairs == "overlap":
+        lvl_c = n_levels - 1  # coarsest: cheapest, widest basin
+        pi, pj, pw = make_pairs_overlap(
+            windows[lvl_c], cams[lvl_c], opt, lvl=lvl_c
+        )
+    else:
+        pi, pj, pw = make_pairs(len(keyframes), radius)
     poses, _ = optimize_window_pyramid(
         tuple(windows),
         pi,

@@ -127,6 +127,7 @@ class VOSystem:
         self.n_frames = 0
         self.n_keyframes = 0
         self.n_tracking_lost = 0
+        self.n_relocalized = 0
         # Recent keyframes for relocalization; (ordinal, Keyframe) so a
         # re-anchored node can point at the right parent (loop closure).
         self.kf_history: List[tuple] = []
@@ -320,6 +321,7 @@ class VOSystem:
             if kf_r is not None:
                 self.kf = kf_r
                 self.kf_ordinal_current = ord_r
+                self.n_relocalized += 1
                 res = res_r
                 # Recompute poses against the relocalization anchor; skip
                 # voting this frame (it was computed against the lost pose).

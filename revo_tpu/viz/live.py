@@ -31,6 +31,7 @@ img{{max-width:48%;border:1px solid #444;margin:4px}}</style></head>
 <h3>revo_tpu live viewer</h3>
 <pre id="status">{status}</pre>
 <img src="trajectory.png?ts={ts}"><img src="overlay.png?ts={ts}">
+<img src="map.png?ts={ts}">
 </body></html>
 """
 
@@ -53,6 +54,13 @@ class LiveViewer:
         self.every = max(1, every)
         self._q: "queue.Queue" = queue.Queue(maxsize=1)
         self._stop = threading.Event()
+        # Per-keyframe decimated colored clouds in CAMERA frame, keyed by
+        # ordinal (computed once per keyframe on the render thread; world
+        # placement re-applies the CURRENT ring pose each render so loop
+        # -closure corrections move the map).  Evicted keyframes keep
+        # their last-known pose — the accumulated map a MapDrawer shows.
+        self._cloud_cache: dict = {}
+        self._kf_pose_cache: dict = {}
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -78,6 +86,9 @@ class LiveViewer:
             "idx": frame_idx,
             "n_kf": vo.n_keyframes,
             "n_lost": vo.n_tracking_lost,
+            # (ordinal, Keyframe) refs for the 3-D map pane; cloud
+            # extraction happens on the render thread.
+            "kf_ring": list(vo.kf_history),
         }
         try:
             self._q.put_nowait(snap)
@@ -122,6 +133,7 @@ class LiveViewer:
                 snap["cfg"],
                 out_png=os.path.join(self.dir, "overlay.png"),
             )
+        self._render_map(snap)
         status = (
             f"frame {snap['idx']}  keyframes {snap['n_kf']}  "
             f"lost {snap['n_lost']}  "
@@ -129,3 +141,42 @@ class LiveViewer:
         )
         with open(os.path.join(self.dir, "index.html"), "w") as f:
             f.write(_INDEX_HTML.format(status=status, ts=snap["idx"]))
+
+    def _render_map(self, snap) -> None:
+        """The 3-D map pane: keyframe frusta + decimated colored cloud
+        under a camera-follow projection (MapDrawer.cc:48-180 analog)."""
+        from revo_tpu.frontend import generate_colored_pcl
+        from revo_tpu.viz.map3d import render_map_png
+
+        for ordinal, kf in snap.get("kf_ring", []):
+            if ordinal not in self._cloud_cache:
+                lvl = min(1, len(kf.frame.levels) - 1)  # half-res: plenty
+                pts, cols = generate_colored_pcl(kf.frame, snap["cfg"], lvl)
+                step = max(1, len(pts) // 1500)  # decimate for the pane
+                self._cloud_cache[ordinal] = (
+                    pts[::step].astype(np.float32),
+                    cols[::step].astype(np.float32),
+                )
+                # Bound the accumulated map (oldest evicted first).
+                while len(self._cloud_cache) > 64:
+                    self._cloud_cache.pop(min(self._cloud_cache))
+                    self._kf_pose_cache.pop(
+                        min(self._kf_pose_cache), None
+                    )
+            self._kf_pose_cache[ordinal] = np.asarray(kf.T_w_k, np.float64)
+        clouds = []
+        kf_poses = []
+        for ordinal, (pts_cam, cols) in self._cloud_cache.items():
+            T = self._kf_pose_cache.get(ordinal)
+            if T is None:
+                continue
+            kf_poses.append(T)
+            clouds.append((pts_cam @ T[:3, :3].T + T[:3, 3], cols))
+        render_map_png(
+            os.path.join(self.dir, "map.png"),
+            clouds,
+            np.stack(kf_poses) if kf_poses else np.eye(4)[None],
+            snap["poses"],
+            snap["pose"].astype(np.float64),
+            title=f"map @ frame {snap['idx']} ({len(kf_poses)} keyframes)",
+        )

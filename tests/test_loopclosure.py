@@ -17,6 +17,8 @@ from revo_tpu.loopclosure import (
     close_loops,
     find_candidates,
     reanchor_trajectory,
+    verify_candidate,
+    verify_candidates_batched,
 )
 from revo_tpu.system import PoseNode
 from test_solver import small_cfg
@@ -111,3 +113,29 @@ class TestCloseLoops:
         poses, loops = close_loops(kfs, cfg, radius=1e-6)
         np.testing.assert_array_equal(poses, drifted_T)
         assert loops == []
+
+
+class TestBatchedVerification:
+    def test_batched_matches_serial(self):
+        """ONE vmapped dispatch over all candidate pairs must reproduce the
+        serial per-candidate verification exactly: same accept/reject
+        verdicts, same relative poses (under vmap each element's LM
+        while_loops run their own predicates with masked updates)."""
+        cfg, kfs, gt, drifted_T = _loop_keyframes()
+        # All admissible pairs, including ones the verifier should reject.
+        cands = [(0, 2), (0, 3), (1, 3)]
+        serial = [verify_candidate(kfs[a], kfs[b], cfg) for a, b in cands]
+        batched = verify_candidates_batched(kfs, cands, cfg)
+        assert len(batched) == len(serial)
+        for (a, b), s, v in zip(cands, serial, batched):
+            assert (s is None) == (v is None), f"verdict mismatch on {a}-{b}"
+            if s is not None:
+                np.testing.assert_allclose(
+                    v[0], s[0], atol=1e-5,
+                    err_msg=f"pose mismatch on {a}-{b}",
+                )
+                assert abs(v[1] - s[1]) < 1e-4
+
+    def test_empty_candidates(self):
+        cfg, kfs, *_ = _loop_keyframes()
+        assert verify_candidates_batched(kfs, [], cfg) == []

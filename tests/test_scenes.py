@@ -114,6 +114,72 @@ class TestColumnScene:
         assert vo.n_tracking_lost == 0
 
 
+# Combined sensor-artifact profile for the photometric-robustness gates
+# (VERDICT r2 item 2): read noise + signal-dependent shot noise + defocus
+# blur + per-frame exposure flicker + lens vignette on the intensity
+# channel.  Break points per corruption: scripts/probes/photo_break.py
+# (results in STATUS.md).
+SENSOR_PROFILE = dict(
+    image_noise=3.0,
+    shot_noise=4.0,
+    image_blur=0.5,
+    exposure_drift=0.05,
+    vignette=0.25,
+)
+
+
+class TestPhotometricRobustness:
+    """Noisy-gray gates per scene family: the intensity channel is no
+    longer pristine, so the Canny edge set varies frame to frame like a
+    real sensor's (the reference consumes real images,
+    iowrapperRGBD.cpp:325-327)."""
+
+    def test_box_scene_sensor_profile(self):
+        cfg = small_cfg()
+        scene = box_scene(**SENSOR_PROFILE)
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=3)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"noisy box-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_column_scene_sensor_profile(self):
+        cfg = small_cfg()
+        scene = column_scene(**SENSOR_PROFILE)
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=4)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"noisy column-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_plane_scene_sensor_profile(self):
+        from revo_tpu.io.synthetic import SyntheticScene
+
+        cfg = small_cfg()
+        scene = SyntheticScene(**SENSOR_PROFILE)
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=5)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"noisy plane-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    def test_photometric_and_depth_corruption_combined(self):
+        """The full sensor model: noisy gray AND Kinect-class depth
+        corruption together on the occlusion scene."""
+        cfg = small_cfg()
+        scene = box_scene(
+            depth_noise=0.04, depth_hole_frac=0.2, **SENSOR_PROFILE
+        )
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=3)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.035, f"full-corruption ATE {ate.rmse:.4f} m"
+
+
 class TestFullResolution:
     def test_ate_gate_640x480(self):
         """CI-light full-resolution gate (VERDICT round 1 #3): the default
@@ -230,6 +296,56 @@ class TestLoopClosureEndToEnd:
             f"{ate_on.rmse:.4f} m"
         )
 
+    def test_multi_loop_double_circuit(self):
+        """Double-circuit trajectory (every azimuth visited twice): at
+        least TWO independent verified loop edges spanning the circuits
+        must be found by the one-dispatch batched verifier, and the joint
+        pose-graph correction must reduce full-trajectory ATE (VERDICT r2
+        item 4)."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(cfg.tracker, kf_history_size=64),
+        )
+        scene = box_scene()
+        # radius 0.45 keeps the double circuit at ~3.8 cm/frame (the
+        # gated fast-motion envelope tops out near 5x handheld = 4 cm).
+        traj = loop_trajectory(150, radius=0.45, wobble=0.004, seed=7,
+                               circuits=2)
+        vo = VOSystem(cfg)
+        est = []
+        for i, (gray, depth, T, ts) in enumerate(
+            render_trajectory(scene, cfg.camera, traj, seed=7)
+        ):
+            scale = 1.08 if 25 <= i < 55 else 1.0
+            est.append(vo.process_frame(gray, depth * scale, ts))
+        est = np.stack(est)
+        ate_pre = absolute_trajectory_error(est, traj)
+        assert ate_pre.rmse > 0.01, (
+            f"drift injection too weak ({ate_pre.rmse:.4f} m) - gate vacuous"
+        )
+
+        kfs = [kf for _, kf in vo.kf_history]
+        ords = [o for o, _ in vo.kf_history]
+        corrected, loops = close_loops(kfs, vo.cfg, radius=0.8)
+        spans = sorted({(e.a, e.b) for e in loops if e.b - e.a >= 5})
+        assert len(spans) >= 2, (
+            f"need >=2 independent verified loops, got {spans}"
+        )
+
+        all_kf = {o: corrected[i] for i, o in enumerate(ords)}
+        full = np.stack(
+            [
+                all_kf.get(n.kf_ordinal, n.T_w_kf) @ n.T_kf_curr
+                for n in vo.pose_graph
+            ]
+        )
+        ate_post = absolute_trajectory_error(full, traj)
+        assert ate_post.rmse < 0.8 * ate_pre.rmse, (
+            f"multi-loop closure did not reduce ATE: "
+            f"{ate_pre.rmse:.4f} -> {ate_post.rmse:.4f} m"
+        )
+
     def test_false_loops_rejected_on_broken_run(self):
         """On a run whose tracking broke mid-loop (heavy depth corruption),
         candidates between drifted keyframes must NOT be verified — the
@@ -278,6 +394,10 @@ class TestLiveViewer:
         assert (live / "index.html").exists()
         assert (live / "trajectory.png").exists()
         assert (live / "overlay.png").exists()
+        # The 3-D map pane (frusta + decimated colored cloud under a
+        # camera-follow projection, MapDrawer.cc:48-180 analog).
+        assert (live / "map.png").exists()
+        assert "map.png" in (live / "index.html").read_text()
         assert not (live / "viewer_errors.log").exists(), (
             (live / "viewer_errors.log").read_text()
         )

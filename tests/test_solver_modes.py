@@ -88,3 +88,49 @@ class TestSolverModeParity:
         )
         ate = absolute_trajectory_error(poses, gt).rmse
         assert ate < 0.03, f"ATE {ate * 100:.2f} cm"
+
+
+class TestBucketedTracking:
+    def test_bucketed_bit_identical(self):
+        """Per-frame capacity bucketing (tracker.track_frames_bucketed)
+        slices only invalid padding lanes off the front-packed clouds;
+        the result matches full-capacity tracking to reduction-order
+        rounding (the padded lanes are exact zeros, but XLA's reduction
+        tree shape depends on the lane count)."""
+        import jax.numpy as jnp
+
+        from revo_tpu import tracker
+        from revo_tpu.frontend import build_frame, make_keyframe
+        from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        frames = list(render_sequence(scene, cfg.camera, 3, seed=6))
+        f0 = build_frame(
+            jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg
+        )
+        kf = make_keyframe(f0, jnp.eye(4), cfg)
+        R, t = jnp.eye(3), jnp.zeros(3)
+        for g, d, T, ts in frames[1:]:
+            f = build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+            full = tracker.track_frames(kf, f, R, t, cfg)
+            buck = tracker.track_frames_bucketed(kf, f, R, t, cfg)
+            np.testing.assert_allclose(
+                np.asarray(full.R), np.asarray(buck.R), atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(full.t), np.asarray(buck.t), atol=2e-5
+            )
+            assert abs(float(full.error) - float(buck.error)) < 1e-3
+            assert int(full.good) == int(buck.good)
+            R, t = full.R, full.t
+
+    def test_bucket_selection(self):
+        from revo_tpu.tracker import pick_buckets
+
+        # fill 0.55 -> ratio 0.625 bucket, quantized up to 256 multiples
+        assert pick_buckets([5632], [10240]) == (6400,)
+        # overflow -> full capacity
+        assert pick_buckets([11000], [10240]) == (10240,)
+        # tiny capacities respect the quantum floor
+        assert pick_buckets([10], [512]) == (256,)
