@@ -70,6 +70,35 @@ def _device_ok(timeout_s: float = 150.0) -> bool:
         return False
 
 
+def _tunnel_healthy(min_calls_per_s: float = 2000.0) -> bool:
+    """The axon tunnel has transient sick windows (measured: the SAME
+    cached executables ran 15-30x slower wall for several minutes, then
+    recovered).  Gate timed sections on a trivial-dispatch throughput
+    probe so a sick window delays the bench instead of poisoning it."""
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as _np
+
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros((8, 8))
+    _np.asarray(f(x))
+    t0 = time.perf_counter()
+    for _ in range(50):
+        x = f(x)
+    _np.asarray(x)  # fetch-sync (block_until_ready can no-op; hard_sync)
+    rate = 50.0 / (time.perf_counter() - t0)
+    return rate >= min_calls_per_s
+
+
+def _wait_for_healthy_tunnel(max_wait_s: float = 120.0) -> None:
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        if _tunnel_healthy():
+            return
+        time.sleep(10.0)
+
+
 def _enable_compile_cache():
     """Persist compiled executables across bench runs (first cold run pays
     ~4-6 min of XLA compiles for the step/scan/vmap variants)."""
@@ -128,6 +157,19 @@ def chain_of(step):
     return chained
 
 
+def hard_sync(x) -> float:
+    """Force a literal device->host fetch of a small value.
+
+    On the axon tunnel, jax.block_until_ready was observed to RETURN
+    IMMEDIATELY (measured 0.07 "ms/step" for a 7 ms step) in processes
+    that had not yet performed a data fetch — a fetch is the only sync
+    primitive observed to always work.  Every timed section must end with
+    one (the fetched value is tiny, so the cost is one round trip)."""
+    import numpy as _np
+
+    return float(_np.asarray(x).ravel()[0])
+
+
 def _check_chain(r, label: str):
     """Divergence guard: a chain whose final error is non-finite or huge
     must not post a throughput number (ADVICE r2)."""
@@ -152,15 +194,13 @@ def _time_chain(chained, args, n_calls: int, frames_per_call: int, label: str):
     from the identity pose (deterministic work per call; ADVICE r2: no
     end-of-chain pose feedback that could silently early-exit the solver).
     Returns (fps, warmup_result)."""
-    import jax
-
     r = chained(*args)
-    jax.block_until_ready(r)
+    hard_sync(r[1][0])
     _check_chain(r, label)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         r2 = chained(*args)
-    jax.block_until_ready(r2)
+    hard_sync(r2[1][0])  # fetch-sync: see hard_sync docstring
     fps = n_calls * frames_per_call / (time.perf_counter() - t0)
     _check_chain(r2, label)
     return fps, r
@@ -202,7 +242,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
     res = vo_step(
         jax.device_put(g_u8[1]), jax.device_put(d_u16[1]), kf, R0, t0, cfg
     )
-    jax.block_until_ready(res)
+    hard_sync(res.error)
 
     out = {"streaming_fps": None, "percall_fps": None, "scan_fps": None,
            "batch_fps": None, "batch_percall_fps": None, "ate_m": None}
@@ -214,7 +254,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
         gg = jax.device_put(g_u8[i % N_FRAMES])
         dd = jax.device_put(d_u16[i % N_FRAMES])
         res = vo_step(gg, dd, kf, res.R, res.t, cfg)
-    jax.block_until_ready(res)
+    hard_sync(res.error)
     out["streaming_fps"] = N_TIMED / (time.perf_counter() - t_start)
 
     # Device-resident per-call: frames preloaded to HBM.
@@ -226,7 +266,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
         res = vo_step(
             g_dev[i % N_FRAMES], d_dev[i % N_FRAMES], kf, res.R, res.t, cfg
         )
-    jax.block_until_ready(res)
+    hard_sync(res.error)
     out["percall_fps"] = N_TIMED / (time.perf_counter() - t_start)
 
     if _budget_left() < 120.0:
@@ -289,12 +329,12 @@ def _batch_fps(cfg, vo_step, g_dev, d_dev, kf):
     Rb = jnp.stack([jnp.eye(3)] * B)
     tb = jnp.stack([jnp.zeros(3)] * B)
     resb = vstep(gb, db, kfb, Rb, tb)
-    jax.block_until_ready(resb)
+    hard_sync(resb.error)
     n_batch_steps = 8
     t_start = time.perf_counter()
     for _ in range(n_batch_steps):
         resb = vstep(gb, db, kfb, resb.R, resb.t)
-    jax.block_until_ready(resb)
+    hard_sync(resb.error)
     percall_fps = B * n_batch_steps / (time.perf_counter() - t_start)
 
     # Scan-chained batched steps (vo_scan_batched deployment mode).
@@ -561,11 +601,15 @@ def main():
 
     th = threading.Thread(target=_oracle)
     th.start()
+    if tpu_ok:
+        _wait_for_healthy_tunnel()
     exact = _tpu_fps(cfg, grays, depths, gt_poses)
     # The accuracy-gated capacity-0.5 throughput point (same pipeline,
     # uniform edge decimation; see _decimated_fps).
     dec_single_fps, dec_batch_fps, ate_cap50 = (None, None, None)
     if _budget_left() > 120.0:
+        if tpu_ok:
+            _wait_for_healthy_tunnel(max_wait_s=min(60.0, _budget_left() / 4))
         dec_single_fps, dec_batch_fps, ate_cap50 = _decimated_fps(
             cfg, grays, depths, gt_poses
         )
@@ -596,6 +640,12 @@ def main():
                 "unit": "frames/s",
                 "best_config": best_config,
                 "vs_baseline": _r(value / baseline_fps),
+                # Per-sequence VO has no cross-sequence communication, so
+                # chips scale linearly (sharded tests + driver dryrun);
+                # the BASELINE.json target is stated for a v5e-16.
+                "vs_baseline_v5e16_projected": _r(
+                    16.0 * value / baseline_fps
+                ),
                 "baseline_cpp_fps": _r(cpp_fps),
                 "baseline_numpy_oracle_fps": _r(numpy_fps),
                 "ate_default_m": (

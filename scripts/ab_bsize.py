@@ -37,7 +37,25 @@ def main():
             ),
         ),
     )
-    frames = list(render_sequence(SyntheticScene(), cfg.camera, 2, seed=0))
+    import bench as bench_mod
+
+    CHAIN = 4
+    cache = f"/tmp/frames_{cfg.camera.width}x{cfg.camera.height}_{CHAIN+1}_s0.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames = [(z[f"g{i}"], z[f"d{i}"]) for i in range(CHAIN + 1)]
+    else:
+        frames = [
+            (f[0], f[1])
+            for f in render_sequence(
+                SyntheticScene(), cfg.camera, CHAIN + 1, seed=0
+            )
+        ]
+        np.savez(
+            cache,
+            **{f"g{i}": f[0] for i, f in enumerate(frames)},
+            **{f"d{i}": f[1] for i, f in enumerate(frames)},
+        )
     g1 = frames[1][0].astype(np.uint8)
     d1 = (frames[1][1] * cfg.dataset.depth_scale_factor).astype(np.uint16)
     f0 = build_frame(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg)
@@ -56,15 +74,37 @@ def main():
         Rb = jnp.stack([jnp.eye(3)] * B)
         tb = jnp.stack([jnp.zeros(3)] * B)
         r = vstep(gb, db, kfb, Rb, tb)
-        jax.block_until_ready(r)
+        bench_mod.hard_sync(r.error)
         n = max(4, 64 // B)
         t0 = time.perf_counter()
         for _ in range(n):
             r = vstep(gb, db, kfb, r.R, r.t)
-        jax.block_until_ready(r)
+        bench_mod.hard_sync(r.error)  # fetch-sync: block_until_ready can no-op
         ms = (time.perf_counter() - t0) / n * 1e3
+
+        # Honest chained variant (varying frames, identity init; the
+        # protocol lives in bench.py once).
+        gs = bench_mod.phase_stack(
+            [jnp.asarray(frames[1 + i][0].astype(np.uint8)) for i in range(CHAIN)],
+            B, CHAIN,
+        )
+        ds = bench_mod.phase_stack(
+            [jnp.asarray((frames[1 + i][1] * cfg.dataset.depth_scale_factor
+                          ).astype(np.uint16)) for i in range(CHAIN)],
+            B, CHAIN,
+        )
+        chained = bench_mod.chain_of(jax.vmap(step))
+        rc = chained(gs, ds, kfb, Rb, tb)
+        bench_mod.hard_sync(rc[1][0])
+        nc = max(2, 16 // B)
+        t0 = time.perf_counter()
+        for _ in range(nc):
+            rc = chained(gs, ds, kfb, Rb, tb)
+        bench_mod.hard_sync(rc[1][0])
+        cms = (time.perf_counter() - t0) / (nc * CHAIN) * 1e3
         print(
-            f"B={B:3d}  {ms:7.1f} ms/batched-step  (agg {B / ms * 1e3:6.1f} fps)",
+            f"B={B:3d}  percall {ms:7.1f} ms/step (agg {B / ms * 1e3:6.1f} fps)"
+            f"   chained {cms:7.2f} ms/step (agg {B / cms * 1e3:6.1f} fps)",
             flush=True,
         )
 

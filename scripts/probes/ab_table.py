@@ -71,14 +71,16 @@ def main():
         f = build_frame(g, d, cfg)
         return tracker.track_frames(k, f, R, t, cfg)
 
+    from bench import hard_sync
+
     chained = chain_of(jax.vmap(step))
     r = chained(gs, ds, kfb, Rb, tb)
-    jax.block_until_ready(r)
+    hard_sync(r[1][0])
     t0 = time.perf_counter()
     n = 8
     for _ in range(n):
         r = chained(gs, ds, kfb, Rb, tb)
-    jax.block_until_ready(r)
+    hard_sync(r[1][0])  # fetch-sync: block_until_ready can no-op
     per = (time.perf_counter() - t0) / (n * CHAIN) * 1e3
     print(
         f"table={TABLE} cap={CAP} caps={cfg.pyramid.edge_capacity} "

@@ -40,7 +40,7 @@ f0 = build_frame(jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]), cfg_b)
 kf = make_keyframe(f0, jnp.eye(4), cfg_b)
 jax.block_until_ready(kf.structs)
 
-B = 8
+B = int(os.environ.get("TRACE_B", "8"))
 def step(g, d, k, R, t):
     f = build_frame(g, d, cfg_b)
     return tracker.track_frames(k, f, R, t, cfg_b)
@@ -70,13 +70,13 @@ for line in hlo.splitlines():
     )
 
 out = vstep(gb, db, kfb, Rb, tb)
-jax.block_until_ready(out)
+_ = float(np.asarray(out.error).ravel()[0])  # fetch-sync
 import time
 t0 = time.perf_counter()
 N = 5
 for _ in range(N):
     out = vstep(gb, db, kfb, out.R, out.t)
-jax.block_until_ready(out)
+_ = float(np.asarray(out.error).ravel()[0])  # fetch-sync
 print(f"batched step: {(time.perf_counter()-t0)/N*1e3:.1f} ms  "
       f"(agg {B*N/(time.perf_counter()-t0):.1f} fps)", flush=True)
 
@@ -85,7 +85,7 @@ trace_dir = tempfile.mkdtemp(prefix="jaxtrace_batch_")
 jax.profiler.start_trace(trace_dir)
 for _ in range(N):
     out = vstep(gb, db, kfb, out.R, out.t)
-jax.block_until_ready(out)
+_ = float(np.asarray(out.error).ravel()[0])  # fetch-sync
 jax.profiler.stop_trace()
 
 tr = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")[0]
