@@ -42,7 +42,7 @@ import numpy as np
 
 N_FRAMES = 8
 N_TIMED = 24  # timed tracking calls (cycled over pre-built frames)
-MAX_SECONDS = 420.0  # soft budget: optional metrics are skipped past this
+MAX_SECONDS = 470.0  # soft budget: optional metrics are skipped past this
 MAX_CHAIN_ERROR = 5.0  # divergence guard on every timed chain (errors ~0.1)
 _T_START = time.perf_counter()
 
@@ -607,7 +607,7 @@ def main():
     # The accuracy-gated capacity-0.5 throughput point (same pipeline,
     # uniform edge decimation; see _decimated_fps).
     dec_single_fps, dec_batch_fps, ate_cap50 = (None, None, None)
-    if _budget_left() > 120.0:
+    if _budget_left() > 95.0:
         if tpu_ok:
             _wait_for_healthy_tunnel(max_wait_s=min(60.0, _budget_left() / 4))
         dec_single_fps, dec_batch_fps, ate_cap50 = _decimated_fps(

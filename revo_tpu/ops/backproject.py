@@ -197,14 +197,23 @@ def _compact_rank(
         if aux is not None:
             auxpos = (hitf * a[:, None, :]).sum(axis=2)  # (nb, BLK)
 
+    # Final row take via the lane-fold custom_vmap form: under vmap a
+    # plain take becomes a batch-dim gather (~7.3 ns/row measured at B=8,
+    # trace_batch fusion.10/9/6 = 1.50 ms/step); the fold keeps the fast
+    # single-row 2-D emitter by stacking the B tables along lanes
+    # ((nb*BLK, B*2) at B=8 = 16-lane rows), same trick as the solver's
+    # quad_lf.  Bit-identical: the primal is the plain take and the
+    # batched one-hot select is exact (single nonzero term per row).
+    from revo_tpu.ops.interp import _take_rows_lanefold
+
     if aux is None:
-        flatpos = jnp.take(
-            inpos_f.reshape(-1), bo * _BLK + kc
-        ).astype(jnp.int32)
+        flatpos = _take_rows_lanefold(
+            inpos_f.reshape(-1, 1), bo * _BLK + kc
+        )[:, 0].astype(jnp.int32)
         idx = bo * _BLK + flatpos
         return jnp.where(lane_valid, idx, 0), lane_valid, count
     table = jnp.stack([inpos_f, auxpos], axis=-1).reshape(nb * _BLK, 2)
-    rows = jnp.take(table, bo * _BLK + kc, axis=0)  # (cap, 2)
+    rows = _take_rows_lanefold(table, bo * _BLK + kc)  # (cap, 2)
     flatpos = rows[:, 0].astype(jnp.int32)
     idx = bo * _BLK + flatpos
     return jnp.where(lane_valid, idx, 0), lane_valid, count, rows[:, 1]
