@@ -37,7 +37,6 @@ from revo_tpu.ops.interp import (
     bilinear_sample_window_ob,
     bilinear_sample_quad,
     bilinear_sample_dtquad,
-    gather2d,
 )
 
 def _row_major(struct):
@@ -606,7 +605,17 @@ def eval_cost(
     inb = inb & cloud.valid
     ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cam.width - 1)
     vi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, cam.height - 1)
-    res = gather2d(dt_img, vi, ui)
+    # Floor-sample via the lane-fold row take: under vmap (batched
+    # sequences) a 2-component gather2d emits the slow batch-dim gather —
+    # the same emitter issue as the solver's quad rows (quad_lf) and the
+    # compaction row takes; the fold keeps the fast single-row 2-D form.
+    # Bit-identical: primal is a plain width-1 row take of the same clipped
+    # indices, and the batched one-hot select is exact.
+    from revo_tpu.ops.interp import _take_rows_lanefold
+
+    res = _take_rows_lanefold(
+        dt_img.reshape(-1, 1), vi * cam.width + ui
+    )[:, 0]
     if use_edge_filter:
         ok = inb & (res <= edge_distance)
     else:
