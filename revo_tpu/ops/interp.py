@@ -115,6 +115,7 @@ def bilinear_sample_dtquad(
     h: int,
     w: int,
     batched_take: str = "take",
+    lane: jax.Array | None = None,
 ) -> jax.Array:
     """(gx, gy, dt) sampling from a dt-only (H*W, 4) quad table
     (ops.edt.quad_structure forms "dt4"/"dt4bf").
@@ -132,6 +133,18 @@ def bilinear_sample_dtquad(
     interpolant (the reference instead interpolates precomputed central
     differences — a smoother, 4x4-support gradient); the gathered row
     shrinks from 12 to 4 components.  ATE-parity gated.
+
+    ``lane`` (pre-folded mode): ``quad`` is a SHARED lane-folded
+    (H*W, B*4) table holding all B sequences' rows side by side, and
+    ``lane`` is this call's sequence index.  The take fetches the full
+    (1, B*4) row (the fast single-index 2-D emitter — same gather the
+    _take_rows_lanefold vmap rule emits) and the one-hot select keeps this
+    lane's 4 components (exact: one nonzero term).  The point: the FOLD
+    happened in the caller, outside any while_loop — the in-rule fold is
+    re-materialized as a 19.6 MB layout copy in EVERY solver iteration at
+    B=8 640x480 (trace_batch copy.927+reshape.840: 0.5 ms/step), growing
+    superlinearly with B (the B=32 scaling cliff).  See
+    solver.gn_level_fixed's hoisted batching rule.
     """
     ix = jnp.floor(u).astype(jnp.int32)
     iy = jnp.floor(v).astype(jnp.int32)
@@ -140,7 +153,17 @@ def bilinear_sample_dtquad(
     ix = jnp.clip(ix, 0, w - 2)
     iy = jnp.clip(iy, 0, h - 2)
     base = iy * w + ix
-    q = _QUAD_TAKES[batched_take](quad, base)  # (N, 4)
+    if lane is not None:
+        rows = _take_rows(quad, base)  # (N, B*4): shared pre-folded tab
+        nb = quad.shape[1] // 4
+        sel = (
+            jnp.arange(nb, dtype=jnp.int32) == lane
+        ).astype(rows.dtype)  # (B,) one-hot
+        q = (rows.reshape(rows.shape[0], nb, 4) * sel[None, :, None]).sum(
+            axis=1
+        )  # (N, 4)
+    else:
+        q = _QUAD_TAKES[batched_take](quad, base)  # (N, 4)
     if q.dtype != u.dtype:
         q = q.astype(u.dtype)
     i00, i01, i10, i11 = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]

@@ -67,11 +67,19 @@ _BILINEAR = {
 }
 
 
-def _sample_quad(s, u, v, h_img: int, w_img: int, batched_take: str = "take"):
+def _sample_quad(
+    s, u, v, h_img: int, w_img: int, batched_take: str = "take", lane=None
+):
     """Quad-table bilinear dispatch for the "quad" impl: forms are inferred
     from shape (ops.edt.quad_structure).  Callers that only have the
     (H, W, 3) struct fall back to take4, which computes the identical
-    result (tests construct structs directly)."""
+    result (tests construct structs directly).  ``lane`` marks the
+    pre-folded mode: s is a SHARED (H*W, B*4) lane-folded dt table and
+    lane is this sequence's index (see gn_level_fixed's hoisted rule)."""
+    if lane is not None:
+        return bilinear_sample_dtquad(
+            s, u, v, h=h_img, w=w_img, lane=lane
+        )
     if s.ndim == 3 and s.shape[-1] != 12:
         return bilinear_sample(s, u, v)
     if s.ndim == 2 and s.shape[-1] == 4:  # dt-only table ("dt4"/"dt4bf")
@@ -164,6 +172,7 @@ def _residual_sums(
     use_edge_filter: bool,
     use_pallas_lgsx: bool = False,
     bilinear_impl: str = "take4",
+    lane=None,
 ):
     """Unnormalized accumulation over (a shard of) the edge cloud.
 
@@ -194,7 +203,7 @@ def _residual_sums(
             "quad_lf12": "lanefold12",
         }
         samp = _sample_quad(
-            struct, u, v, h_img, w_img, take[bilinear_impl]
+            struct, u, v, h_img, w_img, take[bilinear_impl], lane=lane
         )  # (P, 3)
     else:
         samp = _BILINEAR[bilinear_impl](struct, u, v)  # (P, 3): gx, gy, dt
@@ -272,6 +281,7 @@ def residual_system(
     use_edge_filter: bool,
     use_pallas_lgsx: bool = False,
     bilinear_impl: str = "take4",
+    lane=None,
 ) -> LevelSystem:
     """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
 
@@ -282,7 +292,7 @@ def residual_system(
     return _normalize_sums(
         *_residual_sums(
             struct, cloud, cam, R, t, edge_distance, huber, use_edge_filter,
-            use_pallas_lgsx, bilinear_impl,
+            use_pallas_lgsx, bilinear_impl, lane,
         )
     )
 
@@ -456,7 +466,7 @@ def lm_level(
     return final.R, final.t, final.last_err, final.sys.info
 
 
-def gn_level_fixed(
+def _gn_level_fixed(
     struct: jax.Array,
     cloud: EdgeCloud,
     cam: CameraConfig,
@@ -464,6 +474,7 @@ def gn_level_fixed(
     t0: jax.Array,
     opt: OptimizerConfig,
     lvl: int,
+    lane=None,
 ):
     """Bounded branchless LM (the TPU fast path; SURVEY.md §7).
 
@@ -490,6 +501,7 @@ def gn_level_fixed(
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
             opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
+            lane,
         )
 
     # The initial linearization is folded INTO the loop: with a zero
@@ -562,6 +574,83 @@ def gn_level_fixed(
         cond, body, (i0, i0, R0, t0, sys0, lam0, done0)
     )
     return R, t, sys.err, sys.info
+
+
+def gn_level_fixed(
+    struct: jax.Array,
+    cloud: EdgeCloud,
+    cam: CameraConfig,
+    R0: jax.Array,
+    t0: jax.Array,
+    opt: OptimizerConfig,
+    lvl: int,
+):
+    """_gn_level_fixed with a fold-hoisting batching rule for the lane-fold
+    gather form.
+
+    The quad_lf vmap rule folds the B per-sequence dt tables into one
+    shared (H*W, B*4) operand so the solver gather keeps the fast
+    single-row 2-D emitter — but when that rule fires INSIDE the solver
+    while-loop body, XLA re-materializes the fold's layout copy every
+    iteration (trace_batch copy.927 + reshape.840: 0.50 ms/step of the
+    8.1 ms B=8 640x480 step, 19.6 MB/iteration; the cost grows ~B^2 and
+    is the B=32 batch-scaling cliff — 11.3 + 3.3 ms/step of while-body
+    reshapes at B=32 in ALL gather forms, STATUS round-3 analysis).
+
+    This wrapper gives the WHOLE level solve a custom batching rule: fold
+    the stacked tables ONCE outside the while loop, then vmap the inner
+    solve over per-sequence lanes against the shared pre-folded table
+    (``lane`` selects each row's 4 components with an exact one-hot).
+    Bit-identical to the in-rule fold: same gather, same select, only the
+    fold's position in the program changes.
+    """
+    if not (
+        opt.bilinear_impl == "quad_lf"
+        and hasattr(struct, "ndim")
+        and struct.ndim == 2
+        and struct.shape[-1] == 4
+    ):
+        return _gn_level_fixed(struct, cloud, cam, R0, t0, opt, lvl)
+
+    @jax.custom_batching.custom_vmap
+    def run(struct_, pts, valid, count, R0_, t0_):
+        return _gn_level_fixed(
+            struct_, EdgeCloud(pts, valid, count), cam, R0_, t0_, opt, lvl
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, struct_, pts, valid, count, R0_, t0_):
+        if not all(jax.tree.leaves(in_batched)):
+            # Mixed batching (e.g. shared frame vs a keyframe ring): the
+            # plain vmap of the unhoisted solve is today's behavior.
+            axes = tuple(0 if b else None for b in in_batched)
+
+            def prim(s, p, v, n, R, t):
+                return _gn_level_fixed(
+                    s, EdgeCloud(p, v, n), cam, R, t, opt, lvl
+                )
+
+            out = jax.vmap(prim, in_axes=axes)(
+                struct_, pts, valid, count, R0_, t0_
+            )
+            return out, jax.tree.map(lambda _: True, out)
+        b = axis_size
+        hw, c = struct_.shape[1], struct_.shape[2]
+        # The fold, ONCE, outside the while loop (the whole point).
+        tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw, b * c)
+        lanes = jnp.arange(b, dtype=jnp.int32)
+
+        def one(lane, p, v, n, R, t):
+            return _gn_level_fixed(
+                tab, EdgeCloud(p, v, n), cam, R, t, opt, lvl, lane=lane
+            )
+
+        out = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+            lanes, pts, valid, count, R0_, t0_
+        )
+        return out, jax.tree.map(lambda _: True, out)
+
+    return run(struct, cloud.points, cloud.valid, cloud.count, R0, t0)
 
 
 def solve_level(struct, cloud, cam, R0, t0, opt, lvl):
