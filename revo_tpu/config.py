@@ -238,6 +238,9 @@ class DatasetConfig:
     skip_first_n_frames: int = 0  # iowrapperRGBD.h:108
     read_n_images: int = 100000  # iowrapperRGBD.h:109
     use_depth_timestamp: bool = False
+    # 0 = dataset files, 1 = Orbbec Astra Pro, 2 = RealSense, 3 = Orbbec
+    # Astra (iowrapperRGBD.h:57; live sensors via io/sensors.py).
+    input_type: int = 0
 
 
 @dataclass(frozen=True)
@@ -346,6 +349,7 @@ def load_config(
         depth_scale_factor=_get(data, "DEPTH_SCALE_FACTOR", 5000.0),
         skip_first_n_frames=_get(data, "SKIP_FIRST_N_FRAMES", 0),
         read_n_images=_get(data, "READ_N_IMAGES", 100000),
+        input_type=int(_get(algo, "INPUT_TYPE", _get(data, "INPUT_TYPE", 0))),
     )
     return SystemConfig(
         camera=cam,

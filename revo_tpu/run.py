@@ -93,6 +93,73 @@ def _run_dataset(
         _evaluate_against_gt(poses, stamps, ds_dir, gt_file, out_dir)
 
 
+def _run_live(
+    cfg, input_type: int, out_dir: str, color_dev: str, depth_dev: str,
+    replay_color=None, replay_depth=None, max_frames: int = 0,
+    close_loops_flag: bool = False, live_view: bool = False,
+    windowed_ba_flag: bool = False, export_ply: bool = False,
+    record_dir=None,
+) -> None:
+    """INPUT_TYPE 1/2/3: live-sensor VO through the native V4L2 engine
+    (the reference's live modalities, iowrapperRGBD.h:56-102).
+
+    ``replay_color``/``replay_depth`` route the engine at recorded session
+    files through the replay shim — the same driver path without hardware
+    (field-capture debugging; also how CI drives this)."""
+    from revo_tpu.io import sensors
+    from revo_tpu.system import VOSystem
+
+    if replay_color:
+        mapping = {color_dev: replay_color}
+        if replay_depth:
+            mapping[depth_dev] = replay_depth
+        sensors.use_replay(mapping)
+    cam = sensors.open_sensor(
+        input_type,
+        color_dev=color_dev,
+        depth_dev=depth_dev,
+        width=cfg.camera.width,
+        height=cfg.camera.height,
+        warmup=0 if replay_color else None,
+    )
+    print(f"[revo_tpu] live sensor: {cam.profile.name} "
+          f"(INPUT_TYPE={input_type}) {cam.width}x{cam.height}")
+
+    def frames():
+        it = iter(cam)
+        rec = None
+        if record_dir:
+            from revo_tpu.io.recorder import TUMRecorder
+
+            rec = TUMRecorder(record_dir)
+        try:
+            for i, (gray, depth, ts) in enumerate(it):
+                if max_frames and i >= max_frames:
+                    break
+                if rec is not None:
+                    rec.add(gray, depth, ts)
+                yield gray, depth, ts
+        finally:
+            if rec is not None:
+                rec.close()
+
+    vo = VOSystem(cfg)
+    pose_file = os.path.join(out_dir, "poses_live.txt")
+    viewer = _maybe_viewer(live_view, out_dir)
+    poses, stamps, report = vo.run(frames(), pose_file=pose_file, viewer=viewer)
+    if viewer is not None:
+        viewer.close()
+        print(f"Live view written to {out_dir}/live/index.html")
+    cam.close()
+    _print_report(report, pose_file)
+    if windowed_ba_flag:
+        poses = _maybe_windowed_ba(vo, poses)
+    if close_loops_flag:
+        poses = _maybe_close_loops(vo, poses)
+    if export_ply:
+        _maybe_export_ply(vo, poses, out_dir)
+
+
 def _maybe_viewer(live_view: bool, out_dir: str):
     if not live_view:
         return None
@@ -356,6 +423,32 @@ def main(argv=None) -> int:
         help="force the JAX CPU backend (also REVO_TPU_PLATFORM=cpu); "
              "use when the accelerator is unreachable",
     )
+    parser.add_argument(
+        "--input-type", type=int, default=None, metavar="N",
+        help="live-sensor modality override (reference INPUT_TYPE, "
+             "iowrapperRGBD.h:56-102): 1 = Orbbec Astra Pro, 2 = RealSense, "
+             "3 = Orbbec Astra; default comes from the settings yaml "
+             "(INPUT_TYPE, 0 = dataset files)",
+    )
+    parser.add_argument("--color-dev", default="/dev/video0",
+                        help="V4L2 color device (live modes)")
+    parser.add_argument("--depth-dev", default="/dev/video1",
+                        help="V4L2 depth device (live modes)")
+    parser.add_argument(
+        "--replay-color", default=None, metavar="FILE",
+        help="serve the color device from a recorded session file through "
+             "the engine's replay shim (hardware-free live mode)",
+    )
+    parser.add_argument("--replay-depth", default=None, metavar="FILE",
+                        help="session file for the depth device")
+    parser.add_argument("--max-frames", type=int, default=0,
+                        help="stop the live run after N frames (0 = until "
+                             "the stream ends)")
+    parser.add_argument(
+        "--record", default=None, metavar="DIR",
+        help="record the live stream as a TUM-format capture while "
+             "tracking (DO_RECORD_IMAGES, iowrapperRGBD.cpp:181-217)",
+    )
     args = parser.parse_args(argv)
 
     platform = os.environ.get("REVO_TPU_PLATFORM", "cpu" if args.cpu else "")
@@ -391,6 +484,22 @@ def main(argv=None) -> int:
             windowed_ba_flag=args.windowed_ba,
             export_ply=args.export_ply,
         )
+
+    input_type = (
+        args.input_type
+        if args.input_type is not None
+        else cfg.dataset.input_type
+    )
+    if input_type != 0:
+        _run_live(
+            cfg, input_type, args.out, args.color_dev, args.depth_dev,
+            replay_color=args.replay_color, replay_depth=args.replay_depth,
+            max_frames=args.max_frames,
+            close_loops_flag=args.close_loops, live_view=args.live_view,
+            windowed_ba_flag=args.windowed_ba, export_ply=args.export_ply,
+            record_dir=args.record,
+        )
+        return 0
 
     if not args.dataset:
         parser.error("either provide dataset yaml or --synthetic N")

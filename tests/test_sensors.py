@@ -231,6 +231,71 @@ class TestReplayEngine:
             )
 
 
+class TestLiveCLI:
+    def test_run_cli_live_input_type(self, tmp_path, capsys):
+        """The reference's INPUT_TYPE live entry (iowrapperRGBD.h:56-102)
+        through run.py: settings yaml selects INPUT_TYPE=3, the engine is
+        routed at recorded sessions, poses_live.txt comes out, and the
+        stream is simultaneously re-recorded as a TUM capture
+        (DO_RECORD_IMAGES)."""
+        from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+        import revo_tpu.run as run_mod
+
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        tmp = str(tmp_path)
+        # The reference split: INPUT_TYPE lives in the settings file, the
+        # camera calibration in the dataset/camera file.
+        settings = os.path.join(tmp, "settings.yaml")
+        with open(settings, "w") as f:
+            f.write("%YAML:1.0\nINPUT_TYPE: 3\nPYR_MIN_LVL: 2\nPYR_MAX_LVL: 0\n")
+        camfile = os.path.join(tmp, "camera.yaml")
+        with open(camfile, "w") as f:
+            f.write(
+                "%YAML:1.0\n"
+                f"Camera.width: {cfg.camera.width}\n"
+                f"Camera.height: {cfg.camera.height}\n"
+                f"Camera.fx: {cfg.camera.fx}\n"
+                f"Camera.fy: {cfg.camera.fy}\n"
+                f"Camera.cx: {cfg.camera.cx}\n"
+                f"Camera.cy: {cfg.camera.cy}\n"
+            )
+        grays, depths, stamps = [], [], []
+        for gray, depth, T, ts in render_sequence(
+            SyntheticScene(), cfg.camera, 8, seed=5
+        ):
+            grays.append(np.clip(gray, 0, 255).astype(np.uint8))
+            depths.append((depth * 5000.0).astype(np.uint16))
+            stamps.append(ts)
+        cpath, dpath = _write_pair_sessions(
+            tmp, grays, depths, stamps, sensors.YUYV
+        )
+        out = os.path.join(tmp, "out")
+        rec = os.path.join(tmp, "capture")
+        rc = run_mod.main(
+            [
+                settings,
+                camfile,
+                "--out", out,
+                "--color-dev", "/dev/videoC",
+                "--depth-dev", "/dev/videoD",
+                "--replay-color", cpath,
+                "--replay-depth", dpath,
+                "--max-frames", "6",
+                "--record", rec,
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        txt = capsys.readouterr().out
+        assert "live sensor: astra (INPUT_TYPE=3)" in txt
+        pose_lines = open(os.path.join(out, "poses_live.txt")).readlines()
+        assert len(pose_lines) == 6
+        # The DO_RECORD_IMAGES twin: a replayable TUM capture was written.
+        assert len(open(os.path.join(rec, "associate.txt")).readlines()) == 6
+
+
 class TestSensorToVO:
     def test_vo_runs_from_sensor_bridge(self, tmp_path):
         """End-to-end: a rendered sequence encoded into V4L2 sessions,
