@@ -256,7 +256,7 @@ def _lm_window(
         )
 
     st = jax.lax.while_loop(cond, body, st0)
-    return st.poses, st.err
+    return st.poses, st.err, st.lam
 
 
 def make_pairs(n_frames: int, radius: int = 2):
@@ -351,7 +351,7 @@ def make_pairs_overlap(
 @functools.partial(
     jax.jit, static_argnames=("cam", "opt", "lvl", "iters")
 )
-def optimize_window(
+def _optimize_window_full(
     window: Window,
     pair_i: jax.Array,
     pair_j: jax.Array,
@@ -360,13 +360,11 @@ def optimize_window(
     opt: OptimizerConfig,
     lvl: int = 0,
     iters: int = 10,
-    damping: float = 1.0,
-) -> Tuple[jax.Array, jax.Array]:
-    """Joint LM over the window; returns (refined poses, final error).
-
-    ``iters`` bounds the number of error evaluations; ``damping`` is the
-    INITIAL lambda of the accept/reject schedule (see _lm_window).
-    """
+    damping=1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """optimize_window returning (poses, err, final lambda) — the lambda is
+    the schedule's adapted damping at exit, which the coarse-to-fine driver
+    carries into the next level (optimize_window_pyramid)."""
     n_frames = window.poses.shape[0]
 
     def accumulate(poses):
@@ -376,6 +374,29 @@ def optimize_window(
         )
 
     return _lm_window(window.poses, accumulate, n_frames, iters, damping)
+
+
+def optimize_window(
+    window: Window,
+    pair_i: jax.Array,
+    pair_j: jax.Array,
+    pair_w: jax.Array,
+    cam: CameraConfig,
+    opt: OptimizerConfig,
+    lvl: int = 0,
+    iters: int = 10,
+    damping=1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Joint LM over the window; returns (refined poses, final error).
+
+    ``iters`` bounds the number of error evaluations; ``damping`` is the
+    INITIAL lambda of the accept/reject schedule (see _lm_window).
+    """
+    poses, err, _ = _optimize_window_full(
+        window, pair_i, pair_j, pair_w, cam, opt, lvl=lvl, iters=iters,
+        damping=damping,
+    )
+    return poses, err
 
 
 def optimize_window_sharded(
@@ -422,7 +443,9 @@ def optimize_window_sharded(
                 jax.lax.psum(err, axis),
             )
 
-        poses, _ = _lm_window(win.poses, accumulate, n_frames, iters, damping)
+        poses, _, _ = _lm_window(
+            win.poses, accumulate, n_frames, iters, damping
+        )
         return poses
 
     return jax.jit(run)(window, pi, pj, pw)
@@ -435,6 +458,8 @@ def refine_keyframes(
     iters_per_lvl=(6, 4, 4),
     damping: float = 1.0,
     pairs: str = "overlap",
+    extra_pairs=None,
+    poses0=None,
 ):
     """Post-run windowed refinement over a keyframe list (the CLI-facing
     entry: run.py --windowed-ba).
@@ -450,17 +475,24 @@ def refine_keyframes(
     from measured view overlap at the coarsest level (revisit pairs enter,
     blind index-neighbours drop; make_pairs_overlap); "ring" keeps the
     fixed +-radius index ring.
+
+    ``extra_pairs``: optional [(i, j, weight), ...] co-visibility edges to
+    ADD (both directions) — the hook for verified loop-closure pairs
+    (loopclosure.verify_candidates_batched), so a detected revisit enters
+    the joint refinement as a first-class residual edge instead of only a
+    pose-graph constraint.  ``poses0``: optional (K, 4, 4) initial world
+    poses overriding the keyframes' own (e.g. loop-closure-corrected).
     """
     import numpy as _np
 
     cams = cfg.camera_pyramid()
     n_levels = cfg.pyramid.n_levels
     opt = cfg.tracker.optimizer
-    poses0 = jnp.asarray(
-        _np.stack([_np.asarray(k.T_w_k) for k in keyframes]).astype(
-            _np.float32
+    if poses0 is None:
+        poses0 = _np.stack(
+            [_np.asarray(k.T_w_k) for k in keyframes]
         )
-    )
+    poses0 = jnp.asarray(_np.asarray(poses0).astype(_np.float32))
     windows = []
     for lvl in range(n_levels):
         windows.append(
@@ -482,6 +514,22 @@ def refine_keyframes(
         )
     else:
         pi, pj, pw = make_pairs(len(keyframes), radius)
+    if extra_pairs:
+        have = set(
+            (int(a), int(b)) for a, b in zip(_np.asarray(pi), _np.asarray(pj))
+        )
+        ei, ej, ew = [], [], []
+        for i, j, w in extra_pairs:
+            for a, b in ((int(i), int(j)), (int(j), int(i))):
+                if a != b and (a, b) not in have:
+                    ei.append(a)
+                    ej.append(b)
+                    ew.append(float(w))
+                    have.add((a, b))
+        if ei:
+            pi = jnp.concatenate([pi, jnp.asarray(ei, jnp.int32)])
+            pj = jnp.concatenate([pj, jnp.asarray(ej, jnp.int32)])
+            pw = jnp.concatenate([pw, jnp.asarray(ew, jnp.float32)])
     poses, _ = optimize_window_pyramid(
         tuple(windows),
         pi,
@@ -504,6 +552,7 @@ def optimize_window_pyramid(
     opt: OptimizerConfig,
     iters_per_lvl=(6, 6, 10),
     damping: float = 1.0,
+    carry_damping: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Coarse-to-fine windowed optimization.
 
@@ -513,13 +562,23 @@ def optimize_window_pyramid(
     same pull-in strategy as the coarse-to-fine tracker (tracker.cpp:
     324-340) applied to the joint window problem.  All levels share the
     pose unknowns, so only the poses are chained.
+
+    ``carry_damping`` (default): each finer level starts from the COARSER
+    level's exit lambda instead of resetting to ``damping`` — the schedule
+    has already adapted to the window's conditioning (an ill-conditioned
+    window that needed lambda escalation at the coarse level would
+    otherwise re-diverge-and-recover at every level, burning evaluations;
+    a well-conditioned one keeps its earned near-GN damping).  The exit
+    lambda can be 0 (repeated-success decay); the floor re-enters the
+    schedule's 0 -> 0.2 reject jump safely.
     """
     n_levels = len(windows)
     poses = windows[n_levels - 1].poses
     err = jnp.float32(0.0)
+    lam = jnp.float32(damping)
     for lvl in range(n_levels - 1, -1, -1):
         win = windows[lvl]._replace(poses=poses)
-        poses, err = optimize_window(
+        poses, err, lam_out = _optimize_window_full(
             win,
             pair_i,
             pair_j,
@@ -528,6 +587,8 @@ def optimize_window_pyramid(
             opt,
             lvl=lvl,
             iters=iters_per_lvl[min(lvl, len(iters_per_lvl) - 1)],
-            damping=damping,
+            damping=lam,
         )
+        if carry_damping:
+            lam = lam_out
     return poses, err

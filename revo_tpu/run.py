@@ -83,10 +83,9 @@ def _run_dataset(
         viewer.close()
         print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
-    if windowed_ba_flag:
-        poses = _maybe_windowed_ba(vo, poses)
-    if close_loops_flag:
-        poses = _maybe_close_loops(vo, poses)
+    poses = _post_run_refinement(
+        vo, poses, windowed_ba_flag, close_loops_flag
+    )
     if export_ply:
         _maybe_export_ply(vo, poses, out_dir)
     if gt_file:
@@ -152,10 +151,9 @@ def _run_live(
         print(f"Live view written to {out_dir}/live/index.html")
     cam.close()
     _print_report(report, pose_file)
-    if windowed_ba_flag:
-        poses = _maybe_windowed_ba(vo, poses)
-    if close_loops_flag:
-        poses = _maybe_close_loops(vo, poses)
+    poses = _post_run_refinement(
+        vo, poses, windowed_ba_flag, close_loops_flag
+    )
     if export_ply:
         _maybe_export_ply(vo, poses, out_dir)
 
@@ -262,9 +260,13 @@ def _maybe_export_ply(vo, poses, out_dir):
           f"map_keyframes.ply, trajectory.ply")
 
 
-def _maybe_windowed_ba(vo, poses):
+def _maybe_windowed_ba(vo, poses, loop_edges=None, ring_poses0=None):
     """Post-run windowed joint refinement over the retained keyframe ring
-    (the BA the reference stubs out); returns re-anchored poses."""
+    (the BA the reference stubs out); returns re-anchored poses.
+
+    ``loop_edges``/``ring_poses0``: when loop closure ran first, its
+    verified revisit edges enter the refinement as first-class residual
+    pairs and its corrected ring poses seed the optimization."""
     import numpy as np
 
     from revo_tpu.parallel.windowed import refine_keyframes
@@ -274,31 +276,38 @@ def _maybe_windowed_ba(vo, poses):
         return poses
     kfs = [kf for _, kf in vo.kf_history]
     ordinals = [o for o, _ in vo.kf_history]
-    refined = refine_keyframes(kfs, vo.cfg)
+    extra = [(e.a, e.b, 2.0) for e in (loop_edges or [])]
+    refined = refine_keyframes(
+        kfs, vo.cfg, extra_pairs=extra, poses0=ring_poses0
+    )
     all_kf = {o: refined[i] for i, o in enumerate(ordinals)}
     full = []
     for node in vo.pose_graph:
         T_kf = all_kf.get(node.kf_ordinal, node.T_w_kf)
         full.append(T_kf @ node.T_kf_curr)
     print(f"[revo_tpu] windowed BA: refined {len(kfs)} keyframes "
-          f"(coarse-to-fine joint LM)")
+          f"(coarse-to-fine joint LM"
+          + (f", {len(extra)} loop edge(s) as residual pairs" if extra
+             else "") + ")")
     return np.stack(full)
 
 
-def _maybe_close_loops(vo, poses):
+def _maybe_close_loops(vo, poses, return_detail: bool = False):
     """Post-run loop closure over the retained keyframe ring (SLAM upgrade
-    the reference lacks); returns (possibly corrected) poses."""
+    the reference lacks); returns (possibly corrected) poses — with
+    ``return_detail``, also (verified loop edges, corrected ring poses)
+    so windowed BA can consume them."""
     from revo_tpu.loopclosure import close_loops
 
     if vo.n_keyframes < 3 or len(vo.kf_history) < 3:
         print("[revo_tpu] loop closure: <3 keyframes retained; skipping")
-        return poses
+        return (poses, [], None) if return_detail else poses
     kfs = [kf for _, kf in vo.kf_history]
     ordinals = [o for o, _ in vo.kf_history]
     corrected, loops = close_loops(kfs, vo.cfg)
     if not loops:
         print("[revo_tpu] loop closure: no verified loop edges")
-        return poses
+        return (poses, [], None) if return_detail else poses
     # Map corrected ring poses back to global keyframe ordinals.
     all_kf = {o: corrected[i] for i, o in enumerate(ordinals)}
     full = []
@@ -307,7 +316,23 @@ def _maybe_close_loops(vo, poses):
         full.append(T_kf @ node.T_kf_curr)
     print(f"[revo_tpu] loop closure: {len(loops)} edge(s) "
           f"{[(e.a, e.b) for e in loops]}")
-    return np.stack(full)
+    out = np.stack(full)
+    return (out, loops, corrected) if return_detail else out
+
+
+def _post_run_refinement(vo, poses, windowed_ba_flag, close_loops_flag):
+    """Flag-driven post-run SLAM refinement.  With BOTH flags, loop
+    closure runs FIRST and its verified edges + corrected poses feed the
+    windowed BA (loop-aware joint refinement) — the combination neither
+    subsystem gets alone."""
+    loops, ring0 = [], None
+    if close_loops_flag:
+        poses, loops, ring0 = _maybe_close_loops(vo, poses, return_detail=True)
+    if windowed_ba_flag:
+        poses = _maybe_windowed_ba(
+            vo, poses, loop_edges=loops, ring_poses0=ring0
+        )
+    return poses
 
 def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag: bool = False, live_view: bool = False, windowed_ba_flag: bool = False, export_ply: bool = False) -> int:
     from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
@@ -332,10 +357,9 @@ def _run_synthetic(cfg, n_frames: int, out_dir: str, seed: int, close_loops_flag
         viewer.close()
         print(f"Live view written to {out_dir}/live/index.html")
     _print_report(report, pose_file)
-    if windowed_ba_flag:
-        poses = _maybe_windowed_ba(vo, poses)
-    if close_loops_flag:
-        poses = _maybe_close_loops(vo, poses)
+    poses = _post_run_refinement(
+        vo, poses, windowed_ba_flag, close_loops_flag
+    )
     if export_ply:
         _maybe_export_ply(vo, poses, out_dir)
     gt_arr = np.stack(gt)

@@ -433,3 +433,80 @@ class TestOverlapPairs:
         err_ovl = _pose_errors(np.asarray(poses_ovl), true)
         assert err_ovl.max() <= err_ring.max() * 1.05, (err_ring, err_ovl)
         assert err_ovl[5] < err_ring[5], (err_ring[5], err_ovl[5])
+
+
+class TestDampingCarryAndLoopEdges:
+    """Round-3 refinements: lambda carried across pyramid levels, and
+    verified loop-closure edges entering the joint refinement as residual
+    pairs (refine_keyframes extra_pairs / run.py combined flags)."""
+
+    def test_pyramid_carry_damping(self):
+        """Carrying the coarse level's exit lambda into the finer levels
+        (default) must not lose accuracy vs resetting lambda per level,
+        and both must beat the initial poses."""
+        from revo_tpu.parallel.windowed import optimize_window_pyramid
+
+        win0, true = _build_window(n_frames=4, perturb=0.02, seed=9)
+        win1, _ = _build_window_at(CAM.level(1), true)
+        win1 = win1._replace(poses=win0.poses)
+        pi, pj, pw = make_pairs(4, radius=2)
+        args = ((win0, win1), pi, pj, pw, (CAM, CAM.level(1)),
+                OptimizerConfig())
+        p_carry, e_carry = optimize_window_pyramid(
+            *args, iters_per_lvl=(8, 8), carry_damping=True
+        )
+        p_reset, e_reset = optimize_window_pyramid(
+            *args, iters_per_lvl=(8, 8), carry_damping=False
+        )
+        init_errs = _pose_errors(np.asarray(win0.poses), true)
+        errs_carry = _pose_errors(np.asarray(p_carry), true)
+        errs_reset = _pose_errors(np.asarray(p_reset), true)
+        assert np.isfinite(float(e_carry)) and np.isfinite(float(e_reset))
+        assert errs_carry.max() < init_errs.max(), (init_errs, errs_carry)
+        assert errs_carry.max() <= errs_reset.max() * 1.05, (
+            errs_reset, errs_carry,
+        )
+
+    def test_refine_keyframes_loop_edge_pair(self):
+        """A verified revisit entering refine_keyframes as an extra_pairs
+        residual edge anchors the drifted endpoint: with a blind +-1 ring
+        pairing, adding the (first, last) loop pair must end strictly more
+        accurate on the revisit frame (the run.py --close-loops +
+        --windowed-ba combination)."""
+        from revo_tpu import lie
+        from revo_tpu.frontend import build_frame, make_keyframe
+        from revo_tpu.io.synthetic import SyntheticScene, render_frame
+        from revo_tpu.parallel.windowed import refine_keyframes
+        from test_solver import small_cfg
+
+        cfg = small_cfg()
+        scene = SyntheticScene()
+        rng = np.random.default_rng(11)
+        # Out-and-back: the last viewpoint revisits the first.
+        xi = np.array([0.05, 0.012, 0.02, 0.004, 0.025, 0.0], np.float32)
+        amps = [0.0, 1.0, 2.0, 2.2, 1.1, 0.05]
+        true_poses = []
+        for a in amps:
+            dR, dt = lie.exp_se3(jnp.asarray(a * xi))
+            true_poses.append(np.asarray(lie.matrix_from_rt(dR, dt)))
+        kfs = []
+        for k, T in enumerate(true_poses):
+            g, d = render_frame(scene, cfg.camera, T)
+            f = build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+            # Drift grows along the trajectory; the endpoint is most wrong.
+            dxi = rng.normal(size=6).astype(np.float32) * 0.01 * k / 5.0
+            dR, dt = lie.exp_se3(jnp.asarray(dxi))
+            T_pert = np.asarray(lie.matrix_from_rt(dR, dt)) @ T
+            kfs.append(make_keyframe(f, jnp.asarray(T_pert), cfg))
+        kfs[0] = kfs[0]._replace(T_w_k=jnp.asarray(true_poses[0]))  # gauge
+
+        def end_err(refined):
+            return np.linalg.norm(refined[5][:3, 3] - true_poses[5][:3, 3])
+
+        plain = refine_keyframes(kfs, cfg, pairs="ring", radius=1)
+        looped = refine_keyframes(
+            kfs, cfg, pairs="ring", radius=1, extra_pairs=[(0, 5, 2.0)]
+        )
+        assert end_err(looped) < end_err(plain), (
+            end_err(plain), end_err(looped),
+        )
