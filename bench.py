@@ -52,22 +52,67 @@ def _budget_left() -> float:
 
 
 def _device_ok(timeout_s: float = 150.0) -> bool:
-    """Probe device init in a subprocess: the axon tunnel can wedge
-    server-side (first device op blocks forever — observed after killed
-    compile jobs).  A wedged backend must not hang the bench; the caller
-    falls back to the CPU backend with honest labeling."""
+    """Probe the device with a REAL dispatch + fetch in a subprocess: the
+    axon tunnel can wedge server-side such that jax.devices() still
+    succeeds but the first executed op blocks forever (observed 2026-08-20:
+    a bench hard-blocked 19 min at 0 CPU after earlier killed TPU jobs —
+    device init alone is not a sufficient probe).  A wedged backend must
+    not hang the bench; the caller falls back to the CPU backend with
+    honest labeling."""
     import subprocess
     import sys
 
+    code = (
+        "import jax, numpy as np; x = jax.numpy.ones((8, 8)); "
+        "v = float(np.asarray(jax.jit(lambda a: (a + 1.0).sum())(x))); "
+        "assert v == 128.0"
+    )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", code],
             timeout=timeout_s,
             capture_output=True,
         )
         return r.returncode == 0
     except Exception:
         return False
+
+
+# Liveness watchdog: if the tunnel wedges MID-bench (dispatch never
+# returns), no in-thread timeout can fire — a daemon thread watches a
+# heartbeat and, on stall, emits whatever metrics completed as an honestly
+# -labeled partial JSON line and exits, so the driver records a degraded
+# artifact instead of a timeout kill with no output.
+_LAST_BEAT = [time.perf_counter()]
+_PARTIAL: dict = {}
+
+
+def _beat(**fields) -> None:
+    _LAST_BEAT[0] = time.perf_counter()
+    _PARTIAL.update({k: v for k, v in fields.items() if v is not None})
+
+
+def _start_watchdog(stall_s: float = 420.0) -> None:
+    import threading
+
+    def run():
+        while True:
+            time.sleep(15.0)
+            if time.perf_counter() - _LAST_BEAT[0] > stall_s:
+                out = {
+                    "metric": "tracked_frames_per_s_640x480",
+                    "value": None,
+                    "unit": "frames/s",
+                    "stalled": True,
+                    "stalled_after_s": round(
+                        time.perf_counter() - _T_START, 1
+                    ),
+                }
+                out.update(_PARTIAL)
+                print(json.dumps(out), flush=True)
+                os._exit(2)
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _tunnel_healthy(min_calls_per_s: float = 2000.0) -> bool:
@@ -256,6 +301,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
         res = vo_step(gg, dd, kf, res.R, res.t, cfg)
     hard_sync(res.error)
     out["streaming_fps"] = N_TIMED / (time.perf_counter() - t_start)
+    _beat(streaming_fps_tunnel=round(out["streaming_fps"], 2))
 
     # Device-resident per-call: frames preloaded to HBM.
     g_dev = [jax.device_put(x) for x in g_u8]
@@ -268,6 +314,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
         )
     hard_sync(res.error)
     out["percall_fps"] = N_TIMED / (time.perf_counter() - t_start)
+    _beat(single_seq_fps=round(out["percall_fps"], 2))
 
     if _budget_left() < 120.0:
         return out
@@ -286,6 +333,7 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
     )
     out["scan_fps"] = fps
     out["ate_m"] = _ate_m(r, gt_poses)
+    _beat(single_seq_scan_fps=round(fps, 2))
 
     if _budget_left() < 90.0:
         return out
@@ -571,6 +619,8 @@ def main():
         # Wedged/unreachable accelerator: run the same bench on the CPU
         # backend rather than hanging; the JSON labels the platform.
         jax.config.update("jax_platforms", "cpu")
+    _start_watchdog()
+    _beat(platform=jax.default_backend())
     _enable_compile_cache()
     from revo_tpu.config import SystemConfig
 
@@ -580,6 +630,7 @@ def main():
     # The C++ oracle runs first, single-threaded and uncontended (it takes
     # well under a second for 7 frames once built).
     cpp_fps = _cpp_oracle_fps(cfg, grays, depths)
+    _beat(baseline_cpp_fps=round(cpp_fps, 2) if cpp_fps else None)
 
     # TPU shape-bucketing: size the fixed edge-cloud capacities to the
     # scene (revo_tpu.autotune) — identical tracking results while no
@@ -604,6 +655,11 @@ def main():
     if tpu_ok:
         _wait_for_healthy_tunnel()
     exact = _tpu_fps(cfg, grays, depths, gt_poses)
+    _beat(**{
+        k: round(v, 2)
+        for k, v in exact.items()
+        if v is not None and k != "ate_m"
+    })
     # The accuracy-gated capacity-0.5 throughput point (same pipeline,
     # uniform edge decimation; see _decimated_fps).
     dec_single_fps, dec_batch_fps, ate_cap50 = (None, None, None)
