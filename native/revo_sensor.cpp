@@ -39,6 +39,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <vector>
@@ -94,7 +95,9 @@ struct ReplaySession {
 };
 
 struct ReplayState {
-  const ReplaySession* sess = nullptr;
+  // Shared ownership: rs_replay_register may REPLACE a device's session
+  // while an already-open fd still streams the old one.
+  std::shared_ptr<const ReplaySession> sess;
   size_t next_frame = 0;
   bool streaming = false;
   uint32_t n_buffers = 0;
@@ -105,7 +108,8 @@ struct ReplayState {
 };
 
 std::mutex g_replay_mu;
-std::map<std::string, ReplaySession> g_sessions;  // device path -> session
+std::map<std::string, std::shared_ptr<const ReplaySession>>
+    g_sessions;  // device path -> session
 std::map<int, ReplayState> g_replay_fds;
 int g_next_fd = 1000;
 
@@ -155,7 +159,7 @@ int replay_open(const char* path, int /*flags*/) {
   }
   int fd = g_next_fd++;
   ReplayState st;
-  st.sess = &it->second;
+  st.sess = it->second;
   g_replay_fds[fd] = std::move(st);
   return fd;
 }
@@ -590,8 +594,8 @@ void rs_use_replay_shim(int enable) {
 // Register a recorded session file to be served at a fake device path.
 // Returns 0 on success.
 int rs_replay_register(const char* device_path, const char* session_file) {
-  ReplaySession s;
-  if (!load_session(session_file, &s)) return -1;
+  auto s = std::make_shared<ReplaySession>();
+  if (!load_session(session_file, s.get())) return -1;
   std::lock_guard<std::mutex> lk(g_replay_mu);
   g_sessions[device_path] = std::move(s);
   return 0;
