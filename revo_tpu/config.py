@@ -153,6 +153,25 @@ class OptimizerConfig:
     # remains the reference central-difference-gradient form; f32 "flat"
     # for exact-reference numerics.
     quad_form: str = "dt4bf"
+    # Lane-select form for the fold-hoisted batched solve (solver.
+    # gn_level_fixed): with the B per-sequence dt4 tables pre-folded into
+    # one shared operand outside the while loop, each vmapped lane must
+    # pick its own sequence's 4 components per gathered row.  "onehot"
+    # keeps the full (H*W, B*4) row per gather and selects with an exact
+    # one-hot multiply-reduce — the gathered row and the (N, B, 4) select
+    # intermediate both grow with B (the documented remaining B=32
+    # superlinearity, STATUS round-3).  "flat" folds the lane into the
+    # gather index instead: table reshaped (H*W*B, 4) outside the loop,
+    # row index = base*B + lane — same single-index 2-D gather form, one
+    # 4-component row per point, no select at all.  Bit-identical
+    # (selects the same stored values; gated in test_solver_modes).
+    # MEASURED A LOSS on v5e at B=8 (trace_batch, 2026-08-20): device
+    # step 10.97 ms vs 6.97 onehot — the in-loop gather emits ~2.2 ns/row
+    # for narrow 8-byte rows from the (H*W*B, 4) operand vs 0.87 ns/row
+    # for the wide (1, B*4) slice; the one-hot select is nearly free at
+    # B=8.  Fourth failed reformulation of this gather (interp.py:93
+    # lists the other three); kept as a documented A/B knob.
+    lane_select: str = "onehot"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

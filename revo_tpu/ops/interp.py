@@ -154,14 +154,25 @@ def bilinear_sample_dtquad(
     iy = jnp.clip(iy, 0, h - 2)
     base = iy * w + ix
     if lane is not None:
-        rows = _take_rows(quad, base)  # (N, B*4): shared pre-folded tab
-        nb = quad.shape[1] // 4
-        sel = (
-            jnp.arange(nb, dtype=jnp.int32) == lane
-        ).astype(rows.dtype)  # (B,) one-hot
-        q = (rows.reshape(rows.shape[0], nb, 4) * sel[None, :, None]).sum(
-            axis=1
-        )  # (N, 4)
+        if quad.shape[0] != h * w:
+            # Flat lane-major fold (H*W*B, 4): the lane rides the gather
+            # index (row = base*B + lane), so each point fetches exactly
+            # its own 4 components — no wide row, no select intermediate
+            # (OptimizerConfig.lane_select="flat").  MEASURED A LOSS at
+            # B=8 (10.97 vs 6.97 ms device step): narrow 8-byte rows emit
+            # ~2.2 ns/row vs 0.87 for the wide (1, B*4) slice — see the
+            # config.py lane_select docstring.
+            nb = quad.shape[0] // (h * w)
+            q = _take_rows(quad, base * nb + lane)
+        else:
+            rows = _take_rows(quad, base)  # (N, B*4): shared pre-folded tab
+            nb = quad.shape[1] // 4
+            sel = (
+                jnp.arange(nb, dtype=jnp.int32) == lane
+            ).astype(rows.dtype)  # (B,) one-hot
+            q = (
+                rows.reshape(rows.shape[0], nb, 4) * sel[None, :, None]
+            ).sum(axis=1)  # (N, 4)
     else:
         q = _QUAD_TAKES[batched_take](quad, base)  # (N, 4)
     if q.dtype != u.dtype:

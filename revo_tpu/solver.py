@@ -637,7 +637,14 @@ def gn_level_fixed(
         b = axis_size
         hw, c = struct_.shape[1], struct_.shape[2]
         # The fold, ONCE, outside the while loop (the whole point).
-        tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw, b * c)
+        # lane_select="flat" keeps the same transpose but flattens lane-
+        # major to (H*W*B, 4) so the per-point gather row index carries
+        # the lane (base*B + lane) and fetches only 4 components;
+        # "onehot" keeps the (H*W, B*4) wide-row + one-hot-select form.
+        if opt.lane_select == "flat":
+            tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw * b, c)
+        else:
+            tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw, b * c)
         lanes = jnp.arange(b, dtype=jnp.int32)
 
         def one(lane, p, v, n, R, t):

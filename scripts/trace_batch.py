@@ -24,6 +24,18 @@ cfg_b = dataclasses.replace(
     ),
 )
 import os
+_ls = os.environ.get("LANE_SELECT")
+if _ls:
+    cfg_b = dataclasses.replace(
+        cfg_b,
+        tracker=dataclasses.replace(
+            cfg_b.tracker,
+            optimizer=dataclasses.replace(
+                cfg_b.tracker.optimizer, lane_select=_ls
+            ),
+        ),
+    )
+    print(f"LANE_SELECT={_ls}", flush=True)
 _cap = float(os.environ.get("CAP_SCALE", "0"))
 frames = list(render_sequence(SyntheticScene(), cfg.camera, 3, seed=0))
 if _cap > 0:

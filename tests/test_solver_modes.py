@@ -90,6 +90,47 @@ class TestSolverModeParity:
         assert ate < 0.03, f"ATE {ate * 100:.2f} cm"
 
 
+class TestLaneSelect:
+    def test_flat_matches_onehot_batched(self):
+        """lane_select="flat" (lane folded into the gather index, (H*W*B,4)
+        table) must produce bit-identical poses to the "onehot" wide-row
+        select under the batched fold-hoisted solve — both fetch exactly
+        the same stored components, only the gather shape differs."""
+        import jax.numpy as jnp
+
+        from revo_tpu.parallel.batch import vo_scan_batched
+
+        def with_lane(cfg, form):
+            return dataclasses.replace(
+                cfg,
+                tracker=dataclasses.replace(
+                    cfg.tracker,
+                    optimizer=dataclasses.replace(
+                        cfg.tracker.optimizer, lane_select=form
+                    ),
+                ),
+            )
+
+        from test_batch import _render_stack
+
+        cfg = _with_solver(small_cfg(), "gn_fixed")
+        g0, d0, gt0 = _render_stack(cfg, 8, seed=0)
+        g1, d1, gt1 = _render_stack(cfg, 8, seed=5)
+        grays = jnp.stack([g0, g1])
+        depths = jnp.stack([d0, d1])
+        poses_oh = np.asarray(
+            vo_scan_batched(grays, depths, with_lane(cfg, "onehot"))
+        )
+        poses_fl = np.asarray(
+            vo_scan_batched(grays, depths, with_lane(cfg, "flat"))
+        )
+        np.testing.assert_array_equal(poses_oh, poses_fl)
+        # And both track: sub-cm on each sequence.
+        for b, gt in enumerate([gt0, gt1]):
+            ate = absolute_trajectory_error(poses_fl[b], gt).rmse
+            assert ate < 0.02, f"seq {b}: ATE {ate * 100:.2f} cm"
+
+
 class TestBucketedTracking:
     def test_bucketed_bit_identical(self):
         """Per-frame capacity bucketing (tracker.track_frames_bucketed)
