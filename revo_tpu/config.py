@@ -224,6 +224,13 @@ class TrackerConfig:
     reloc_error_threshold: float = 2.0  # mean weighted DT error (px)
     reloc_min_good: int = 100
     kf_history_size: int = 5
+    # Keep full image tensors (gray/depth/edges) on RETAINED keyframes.
+    # False (default) stores pruned slots — tracking, relocalization,
+    # loop closure and windowed BA only read structs/quads/clouds/pose
+    # (frontend.prune_keyframe; ~4 MB/slot saved at 640x480).  run.py
+    # turns this on for --export-ply / --live-view, which color the map
+    # from keyframe images.
+    store_kf_images: bool = False
     # Online (mid-run) loop closure: every ``loop_closure_every`` frames
     # the retained keyframe ring is searched for verified revisits and the
     # pose graph + live tracking state are corrected in place (the offline

@@ -189,6 +189,33 @@ def generate_colored_pcl(
     return pts, clr
 
 
+def prune_keyframe(kf: Keyframe) -> Keyframe:
+    """Shrink a keyframe for RETENTION: drop the per-level image tensors
+    (gray/depth/edges) that tracking never reads from a stored keyframe —
+    relocalization, loop-closure verification and windowed BA consume only
+    ``structs``/``quads``/per-level ``cloud``/``T_w_k`` (track_frames body;
+    windowed.measure_overlap).  The reference sketches the same idea as
+    ``prepareKfForStorage`` (imgpyramidrgbd.h:156-169, disabled there).
+
+    Dropped tensors become (1, 1) placeholders so the pytree structure is
+    unchanged (history slots stay stackable for the one-dispatch batched
+    loop-closure verify).  At 640x480 x 3 levels this removes ~4.0 MB of
+    the ~12.3 MB slot (measured in test_soak); colored-PCL export and the
+    live viewer's map pane need the images — keep
+    ``TrackerConfig.store_kf_images=True`` for those (run.py does, for
+    --export-ply / --live-view)."""
+    levels = tuple(
+        lv._replace(
+            gray=jnp.zeros((1, 1), lv.gray.dtype),
+            depth=jnp.zeros((1, 1), lv.depth.dtype),
+            edges=jnp.zeros((1, 1), lv.edges.dtype),
+            edges_orig=jnp.zeros((1, 1), lv.edges_orig.dtype),
+        )
+        for lv in kf.frame.levels
+    )
+    return kf._replace(frame=kf.frame._replace(levels=levels))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def make_keyframe(frame: Frame, T_w_k: jax.Array, cfg: SystemConfig) -> Keyframe:
     structs = tuple(

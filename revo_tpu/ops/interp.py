@@ -134,12 +134,15 @@ def bilinear_sample_dtquad(
     differences — a smoother, 4x4-support gradient); the gathered row
     shrinks from 12 to 4 components.  ATE-parity gated.
 
-    ``lane`` (pre-folded mode): ``quad`` is a SHARED lane-folded
-    (H*W, B*4) table holding all B sequences' rows side by side, and
-    ``lane`` is this call's sequence index.  The take fetches the full
-    (1, B*4) row (the fast single-index 2-D emitter — same gather the
-    _take_rows_lanefold vmap rule emits) and the one-hot select keeps this
-    lane's 4 components (exact: one nonzero term).  The point: the FOLD
+    ``lane`` (pre-folded mode): ``quad`` is a SHARED pre-folded table
+    holding all B sequences' rows, in one of two layouts inferred from
+    ``quad.shape[0]`` (set by OptimizerConfig.lane_select at the fold
+    site, solver.gn_level_fixed): "onehot" = (H*W, B*4) lane-minor wide
+    rows — the take fetches the full (1, B*4) row (the fast single-index
+    2-D emitter — same gather the _take_rows_lanefold vmap rule emits)
+    and an exact one-hot select keeps this lane's 4 components; "flat" =
+    (H*W*B, 4) lane-major — the lane rides the gather index (row =
+    base*B + lane), no select at all.  The point of either: the FOLD
     happened in the caller, outside any while_loop — the in-rule fold is
     re-materialized as a 19.6 MB layout copy in EVERY solver iteration at
     B=8 640x480 (trace_batch copy.927+reshape.840: 0.5 ms/step), growing
@@ -162,6 +165,11 @@ def bilinear_sample_dtquad(
             # B=8 (10.97 vs 6.97 ms device step): narrow 8-byte rows emit
             # ~2.2 ns/row vs 0.87 for the wide (1, B*4) slice — see the
             # config.py lane_select docstring.
+            if quad.shape[0] % (h * w) != 0:
+                raise ValueError(
+                    f"lane-folded quad table rows {quad.shape[0]} not a "
+                    f"multiple of h*w={h * w}: wrong table for this level"
+                )
             nb = quad.shape[0] // (h * w)
             q = _take_rows(quad, base * nb + lane)
         else:

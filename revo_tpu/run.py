@@ -217,6 +217,11 @@ def _print_report(report, pose_file) -> None:
     print(f"Tracking Lost: {report.tracking_lost}")
     print(f"Distance Transform: {report.mean_dt_time_ms:.2f} ms")
     print(f"Mean Tracking Time: {report.mean_tracking_time_ms:.2f} ms")
+    print(
+        "Tracking Latency p50/p95/p99: "
+        f"{report.latency_ms_p50:.2f} / {report.latency_ms_p95:.2f} / "
+        f"{report.latency_ms_p99:.2f} ms"
+    )
     if pose_file:
         print(f"Poses written to {pose_file}")
 
@@ -484,6 +489,16 @@ def main(argv=None) -> int:
     from revo_tpu.config import load_config
 
     cfg = load_config(args.settings, args.dataset)
+    if args.export_ply or args.live_view:
+        # Colored-map surfaces read keyframe images from the retained
+        # history; everything else runs with pruned slots (bounded
+        # keyframe memory, frontend.prune_keyframe).
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(cfg.tracker, store_kf_images=True),
+        )
     os.makedirs(args.out, exist_ok=True)
 
     if args.synthetic > 0:

@@ -643,8 +643,15 @@ def gn_level_fixed(
         # "onehot" keeps the (H*W, B*4) wide-row + one-hot-select form.
         if opt.lane_select == "flat":
             tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw * b, c)
-        else:
+        elif opt.lane_select == "onehot":
             tab = jnp.transpose(struct_, (1, 0, 2)).reshape(hw, b * c)
+        else:
+            # A/B knob guard: a typo (e.g. via trace_batch's LANE_SELECT
+            # env) must not silently measure the onehot form (ADVICE r3).
+            raise ValueError(
+                f"unknown lane_select {opt.lane_select!r}; "
+                "expected 'onehot' or 'flat'"
+            )
         lanes = jnp.arange(b, dtype=jnp.int32)
 
         def one(lane, p, v, n, R, t):

@@ -31,7 +31,13 @@ import jax.numpy as jnp
 
 from revo_tpu import lie, tracker
 from revo_tpu.config import SystemConfig
-from revo_tpu.frontend import Frame, Keyframe, build_frame, make_keyframe
+from revo_tpu.frontend import (
+    Frame,
+    Keyframe,
+    build_frame,
+    make_keyframe,
+    prune_keyframe,
+)
 from revo_tpu.io.tum import write_tum_trajectory
 
 
@@ -68,13 +74,22 @@ class PoseNode:
 
 @dataclasses.dataclass
 class VOReport:
-    """End-of-run VO report (system.cpp:292-304)."""
+    """End-of-run VO report (system.cpp:292-304).
+
+    Beyond the reference's mean timings, the report carries per-frame
+    host-dispatch latency percentiles: the reference is a real-time
+    system fed by 30-60 fps sensors (realsensesensor.cpp:39-41), and a
+    mean hides the stalls that matter there (keyframe promotion re-track,
+    relocalization dispatches)."""
 
     frames_tracked: int = 0
     keyframes: int = 0
     tracking_lost: int = 0
     mean_dt_time_ms: float = 0.0
     mean_tracking_time_ms: float = 0.0
+    latency_ms_p50: float = 0.0
+    latency_ms_p95: float = 0.0
+    latency_ms_p99: float = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "check_results"))
@@ -162,7 +177,16 @@ class VOSystem:
         self.dt_times.append((time.perf_counter() - t0) * 1000.0)
         self.n_keyframes += 1
         self.kf_ordinal_current = self.n_keyframes - 1
-        self.kf_history.append((self.kf_ordinal_current, self.kf))
+        # Retained slots carry only what tracking/BA/loop-closure read
+        # (structs/quads/clouds/pose) unless images are wanted for export
+        # or the live map pane — bounds long-run keyframe memory
+        # (prepareKfForStorage analog; see frontend.prune_keyframe).
+        kf_store = (
+            self.kf
+            if self.cfg.tracker.store_kf_images
+            else prune_keyframe(self.kf)
+        )
+        self.kf_history.append((self.kf_ordinal_current, kf_store))
         if len(self.kf_history) > self.cfg.tracker.kf_history_size:
             self.kf_history.pop(0)
         if self.cfg.tracker.enable_relocalization:
@@ -438,6 +462,11 @@ class VOSystem:
         return poses, np.array(stamps), self.report()
 
     def report(self) -> VOReport:
+        lat = (
+            np.percentile(self.tracking_times, [50.0, 95.0, 99.0])
+            if self.tracking_times
+            else np.zeros(3)
+        )
         return VOReport(
             frames_tracked=len(self.pose_graph),
             keyframes=self.n_keyframes,
@@ -448,4 +477,7 @@ class VOSystem:
             mean_tracking_time_ms=float(np.mean(self.tracking_times))
             if self.tracking_times
             else 0.0,
+            latency_ms_p50=float(lat[0]),
+            latency_ms_p95=float(lat[1]),
+            latency_ms_p99=float(lat[2]),
         )

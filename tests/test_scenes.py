@@ -380,7 +380,16 @@ class TestLiveViewer:
         from revo_tpu.io.synthetic import render_sequence
         from revo_tpu.viz.live import LiveViewer
 
-        cfg = small_cfg()
+        import dataclasses
+
+        # --live-view runs keep keyframe images for the colored map pane
+        # (run.py sets this; retained slots are pruned otherwise).
+        cfg = dataclasses.replace(
+            small_cfg(),
+            tracker=dataclasses.replace(
+                small_cfg().tracker, store_kf_images=True
+            ),
+        )
         scene = box_scene()
         vo = VOSystem(cfg)
         viewer = LiveViewer(str(tmp_path), every=2)
