@@ -786,6 +786,15 @@ def main():
                 "latency_ms_p50": _r(exact["latency_ms_p50"]),
                 "latency_ms_p95": _r(exact["latency_ms_p95"]),
                 "latency_ms_p99": _r(exact["latency_ms_p99"]),
+                # Real-time envelope vs the reference's 30 fps sensors
+                # (realsensesensor.cpp:39-41): one frame per 33 ms,
+                # including this harness's tunnel transfer (~20 ms/frame
+                # at 45 MB/s — a real host's DMA is far faster).
+                "latency_p99_under_33ms": (
+                    bool(exact["latency_ms_p99"] < 33.0)
+                    if exact["latency_ms_p99"] is not None
+                    else None
+                ),
                 "cap50_single_seq_scan_fps": _r(dec_single_fps),
                 "cap50_batch8_agg_fps": _r(dec_batch_fps),
             }

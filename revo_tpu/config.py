@@ -75,7 +75,9 @@ class PyramidConfig:
     # the largest frontend fusion at B=8) with a lane sort keyed on the
     # in-block cumsum — measured 7.34 -> 6.46 ms/vary-chained-step at B=8
     # cap50, 9.5 ms at exact-fit vs 10.9 (scripts/probes/ab_table.py).
-    # All three forms are bit-identical (fuzz-gated in test_ops).
+    # "rank_sort2" packs the lane index into the sort key's low byte
+    # (key*256 + lane, < 2^24 so f32-exact) so the sort carries one fewer
+    # operand.  All four forms are bit-identical (fuzz-gated in test_ops).
     compaction: str = "rank_sort"
     n_percentage: float = 0.3  # occupancy threshold for fill-in
     # Patch sizes of the per-level edge-occupancy histogram; "chosen in a way

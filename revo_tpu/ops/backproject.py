@@ -189,6 +189,22 @@ def _compact_rank(
             _, inpos_f, auxpos = jax.lax.sort(
                 (keys, ib, a), dimension=1, num_keys=1
             )
+    elif table_impl == "sort_packed":
+        # One-operand-fewer variant of "sort": the lane index rides the
+        # key's low byte (key' = key*256 + lane; values <= 130*256+127 <
+        # 2^24, exact in f32) instead of travelling as a sort payload, and
+        # is recovered with a mod after the sort.  Valid lanes' keys are
+        # distinct (inclusive cumsum), so ordering — and the table — are
+        # bit-identical to "sort"; only the compare-exchange network
+        # shrinks by one carried array (two when aux is absent).
+        keys = jnp.where(v > 0, C, jnp.float32(_BLK + 2))
+        packed = keys * 256.0 + i_idx[None, :]
+        if aux is None:
+            sp = jax.lax.sort(packed, dimension=1)
+            inpos_f = jnp.mod(sp, 256.0)
+        else:
+            sp, auxpos = jax.lax.sort((packed, a), dimension=1, num_keys=1)
+            inpos_f = jnp.mod(sp, 256.0)
     else:
         r1 = jnp.arange(1, _BLK + 1, dtype=jnp.float32)
         hit = (C[:, None, :] == r1[None, :, None]) & (v[:, None, :] > 0)
@@ -250,7 +266,10 @@ def backproject_edges(
         # contraction (identical output; see _compact_rank).
         idx, lane_valid, count, z = _compact_rank(
             valid_px, capacity, depth,
-            table_impl="sort" if compaction == "rank_sort" else "reduce",
+            table_impl={
+                "rank_sort": "sort",
+                "rank_sort2": "sort_packed",
+            }.get(compaction, "reduce"),
         )
         yi = idx // w
         xi = idx % w

@@ -6,6 +6,7 @@ flow) and shard cleanly over the 8-virtual-device mesh.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from revo_tpu.eval import absolute_trajectory_error
 from revo_tpu.io.synthetic import SyntheticScene, render_sequence
@@ -66,6 +67,7 @@ class TestVOScan:
             ate = absolute_trajectory_error(np.asarray(poses[b]), gt)
             assert ate.rmse < 0.02, f"seq {b}: ATE {ate.rmse * 100:.2f} cm"
 
+    @pytest.mark.slow  # 4-seed x 24-frame scan accuracy battery (~18 s)
     def test_multi_seed_accuracy_gate(self):
         """CI-light version of the 12-seed x 100-frame offline sweep
         (STATUS.md accuracy envelope): 8 random handheld trajectories x 40

@@ -124,6 +124,7 @@ _REPO_CONFIG = os.path.join(os.path.dirname(__file__), "..", "config")
         "realsense.yaml",
     ],
 )
+@pytest.mark.slow  # 4 recorded-capture 640x480 CLI replays (~38 s)
 def test_sensor_variant_replay_640x480(variant, tmp_path, capsys):
     """Every shipped sensor-config variant runs the full 640x480 replay
     path: record a synthetic capture with the variant's calibration and

@@ -25,6 +25,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow  # spawns 2 coordinated jax.distributed processes (~45 s)
 class TestMultiHostBootstrap:
     def test_two_process_psum(self):
         port = _free_port()

@@ -400,7 +400,7 @@ class TestBackproject:
         ]
         for mask, cap in cases:
             ia, va, ca = _compact_scatter(jnp.asarray(mask), cap)
-            for impl in ("reduce", "sort"):
+            for impl in ("reduce", "sort", "sort_packed"):
                 ib, vb, cb = _compact_rank(
                     jnp.asarray(mask), cap, table_impl=impl
                 )
@@ -429,7 +429,7 @@ class TestBackproject:
         a = backproject_edges(
             jnp.asarray(edges), jnp.asarray(depth), compaction="scatter", **kw
         )
-        for rank_impl in ("rank", "rank_sort"):
+        for rank_impl in ("rank", "rank_sort", "rank_sort2"):
             b = backproject_edges(
                 jnp.asarray(edges), jnp.asarray(depth),
                 compaction=rank_impl, **kw

@@ -9,6 +9,7 @@ ground truth are the stand-in (BASELINE.md)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 from revo_tpu.config import SystemConfig
 from revo_tpu.eval import absolute_trajectory_error
@@ -180,6 +181,7 @@ class TestPhotometricRobustness:
         assert ate.rmse < 0.035, f"full-corruption ATE {ate.rmse:.4f} m"
 
 
+@pytest.mark.slow  # two ~30 s 640x480 end-to-end ATE gates
 class TestFullResolution:
     def test_ate_gate_640x480(self):
         """CI-light full-resolution gate (VERDICT round 1 #3): the default
@@ -213,6 +215,7 @@ class TestFullResolution:
         assert vo.n_tracking_lost == 0
 
 
+@pytest.mark.slow  # four multi-circuit loop-closure scenarios (~60 s)
 class TestLoopClosureEndToEnd:
     def test_loop_closure_reduces_ate(self):
         """Full pipeline gate: a closed-loop trajectory with a transient

@@ -205,6 +205,7 @@ class TestTwoFrameTracking:
         assert rot_err < 0.005, f"rot err {rot_err:.4f}"
         assert not bool(res.new_kf)
 
+    @pytest.mark.slow  # all five gather-form A/Bs against quad (~8 s)
     def test_suffixed_quad_impls_match_quad(self):
         """Every "quad*" bilinear_impl must actually sample the quad table
         (tracker.use_quad once exact-matched "quad", silently sending the

@@ -4,6 +4,7 @@ ATE-neutral')."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 from revo_tpu.eval import absolute_trajectory_error
 from test_solver import small_cfg
@@ -90,6 +91,7 @@ class TestSolverModeParity:
         assert ate < 0.03, f"ATE {ate * 100:.2f} cm"
 
 
+@pytest.mark.slow  # batched A/B-form parity (the default form is gated fast)
 class TestLaneSelect:
     def test_flat_matches_onehot_batched(self):
         """lane_select="flat" (lane folded into the gather index, (H*W*B,4)

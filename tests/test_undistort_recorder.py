@@ -106,6 +106,11 @@ class TestUndistortEndToEnd:
                 dist_patch_sizes=(20, 10, 5),
                 undistort=True,
             ),
+            # The mechanism check below reads the retained keyframe's
+            # image; retained slots are pruned by default.
+            tracker=dataclasses.replace(
+                base.tracker, store_kf_images=True
+            ),
         )
         scene = SyntheticScene()
         gt = []
