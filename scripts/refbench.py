@@ -1,0 +1,221 @@
+"""Head-to-head against the ACTUAL reference binary on identical frames.
+
+BASELINE.md originally recorded the reference as unbuildable here (no
+Eigen/Boost in the image, zero egress).  That fell: Eigen ships inside
+tensorflow's bundled headers, OpenCV4 C++ dev headers are installed, and
+Sophus is vendored in the reference tree — scripts/build_reference.sh
+builds the reference's own sources (patched only mechanically: boost::
+filesystem -> std::filesystem, OpenCV3 constant names, C++17 allocator
+strictness; the hot loop is untouched, full -O3 -mavx2 -fopenmp) into
+/tmp/refbuild OUTSIDE the repo.
+
+This script renders a synthetic 640x480 sequence with exact ground truth,
+writes it as a TUM-format dataset (rgb/ + depth/ + associate.txt — the
+layout iowrapperRGBD.cpp:70,316-326 consumes), runs the reference binary
+on it, and compares:
+
+- reference ATE vs ground truth (its poses_<dataset>.txt output,
+  system.cpp:46-79) against revo_tpu's ATE on the SAME pngs (decoded
+  back, so both systems see identical 8-bit quantization),
+- reference per-frame time: its own VO-report numbers (mean tracking
+  time + amortized DT, system.cpp:292-304) AND the wall time of its
+  processing loop.
+
+Prints one JSON line.  Run: python scripts/refbench.py [n_frames]
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_BIN = os.environ.get("REVO_REF_BIN", "/tmp/refbuild/build/REVO")
+WORK = "/tmp/ref_dataset"
+SEQ = "synthetic"
+
+
+def render(n):
+    cache = f"/tmp/bench_frames_640x480_{n}_s0.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return (
+            [z[f"g{i}"] for i in range(n)],
+            [z[f"d{i}"] for i in range(n)],
+            z["gt"],
+        )
+    from revo_tpu.config import SystemConfig
+    from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+
+    cfg = SystemConfig()
+    frames = list(render_sequence(SyntheticScene(), cfg.camera, n, seed=0))
+    grays = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    gt = np.stack([f[2] for f in frames])
+    arrs = {"n": np.int64(n), "gt": gt}
+    for i, (g, d) in enumerate(zip(grays, depths)):
+        arrs[f"g{i}"] = g
+        arrs[f"d{i}"] = d
+    np.savez(cache, **arrs)
+    return grays, depths, gt
+
+
+def write_dataset(grays, depths, gt):
+    import cv2
+
+    root = os.path.join(WORK, SEQ)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    lines = []
+    gt_lines = []
+    for i, (g, d) in enumerate(zip(grays, depths)):
+        ts = f"{i / 30.0:.6f}"
+        rgb = cv2.cvtColor(g.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+        cv2.imwrite(os.path.join(root, "rgb", f"{ts}.png"), rgb)
+        d16 = np.clip(d * 5000.0, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(root, "depth", f"{ts}.png"), d16)
+        lines.append(f"{ts} rgb/{ts}.png {ts} depth/{ts}.png")
+        t = gt[i, :3, 3]
+        gt_lines.append(f"{ts} {t[0]} {t[1]} {t[2]} 0 0 0 1")
+    with open(os.path.join(root, "associate.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+
+    # Dataset yaml: the reference's own fr1 operating point (identical to
+    # config/dataset_tum1.yaml keys) with our renderer's zero distortion.
+    from revo_tpu.config import SystemConfig
+
+    cam = SystemConfig().camera
+    with open(os.path.join(WORK, "dataset_synth.yaml"), "w") as f:
+        f.write(
+            "%YAML:1.0\n"
+            f"Camera.fx: {cam.fx}\nCamera.fy: {cam.fy}\n"
+            f"Camera.cx: {cam.cx}\nCamera.cy: {cam.cy}\n"
+            "Camera.k1: 0.0\nCamera.k2: 0.0\nCamera.p1: 0.0\n"
+            "Camera.p2: 0.0\nCamera.k3: 0.0\n"
+            f"Camera.width: {cam.width}\nCamera.height: {cam.height}\n"
+            "cannyThreshold1: 150\ncannyThreshold2: 100\n"
+            f'MainFolder: "{WORK}/"\n'
+            f'Datasets: "{SEQ}"\n'
+            'ASSOCIATE: "associate.txt"\n'
+            "PYR_MIN_LVL: 2\nPYR_MAX_LVL: 0\n"
+            "DEPTH_MIN: 0.1\nDEPTH_MAX: 5.2\n"
+            "USE_EDGE_HIST: 1\nnPercentage: 0.3\n"
+            "useDepthTimeStamp: 0\nSKIP_FIRST_N_FRAMES: 0\n"
+            "READ_N_IMAGES: 10000\nDEPTH_SCALE_FACTOR: 5000.0\n"
+            "DO_RECORD_IMAGES: 0\nDO_UNDISTORT: 0\n"
+        )
+    with open(os.path.join(WORK, "settings.yaml"), "w") as f:
+        f.write(
+            "%YAML:1.0\n"
+            "DO_GENERATE_DENSE_PCL: 0\nDO_SHOW_DEBUG_IMAGE: 0\n"
+            "DO_USE_PANGOLIN_VIEWER: 0\nUSE_EDGE_HIST: 1\n"
+            "CHECK_TRACKING_RESULTS: 1\nCHECK_INIT_VALUES: 1\n"
+            "USE_EDGE_FILTER: 1\nN_FRAMES_HIST_VOTING: 3\n"
+            "DO_OUTPUT_POSES: 1\n"
+        )
+    return root
+
+
+def run_reference():
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [REF_BIN, os.path.join(WORK, "settings.yaml"),
+         os.path.join(WORK, "dataset_synth.yaml")],
+        cwd=WORK, capture_output=True, text=True, timeout=900,
+    )
+    wall = time.perf_counter() - t0
+    out = r.stdout + r.stderr
+    report = {}
+    for key, pat in [
+        ("frames", r"Frames Tracked:\s*([0-9.]+)"),
+        ("keyframes", r"Keyframes Tracked:\s*([0-9.]+)"),
+        ("lost", r"Tracking Lost:\s*([0-9.]+)"),
+        ("dt_ms", r"Distance Transform:\s*([0-9.eE+-]+)"),
+        ("track_ms", r"Mean Tracking Time:\s*([0-9.eE+-]+)"),
+    ]:
+        m = re.search(pat, out)
+        report[key] = float(m.group(1)) if m else None
+    poses = []
+    pose_file = os.path.join(WORK, f"poses_{SEQ}.txt")
+    if os.path.exists(pose_file):
+        for line in open(pose_file):
+            v = line.split()
+            if len(v) >= 8:
+                poses.append([float(x) for x in v[1:4]])
+    return report, np.array(poses), wall, r.returncode
+
+
+def run_ours(root, n):
+    """Our system on the SAME pngs (decode back like the reference does)."""
+    import cv2
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from revo_tpu.config import SystemConfig
+    from revo_tpu.system import VOSystem
+
+    cfg = SystemConfig()
+    vo = VOSystem(cfg)
+
+    def frames():
+        for i in range(n):
+            ts = f"{i / 30.0:.6f}"
+            g = cv2.imread(
+                os.path.join(root, "rgb", f"{ts}.png"), cv2.IMREAD_GRAYSCALE
+            ).astype(np.float32)
+            d = cv2.imread(
+                os.path.join(root, "depth", f"{ts}.png"), cv2.IMREAD_UNCHANGED
+            ).astype(np.float32) / 5000.0
+            yield g, d, float(ts)
+
+    poses, _, _ = vo.run(frames())
+    return poses
+
+
+def ate_rmse(est_t, gt):
+    gt_t = gt[: est_t.shape[0], :3, 3]
+    return float(np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, axis=-1))))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    if not os.path.exists(REF_BIN):
+        print(json.dumps({"error": f"reference binary missing: {REF_BIN}; "
+                          "run scripts/build_reference.sh"}))
+        return
+    grays, depths, gt = render(n)
+    root = write_dataset(grays, depths, gt)
+    report, ref_t, wall, rc = run_reference()
+    ref_ate = ate_rmse(ref_t, gt) if len(ref_t) else None
+    ours = run_ours(root, n)
+    ours_ate = ate_rmse(ours[:, :3, 3], gt)
+    # Per-frame reference cost by its own report: tracking + DT amortized
+    # over frames (DT is per-keyframe).  Wall includes PNG decode+startup.
+    per_frame_ms = None
+    if report["track_ms"] is not None:
+        dt_total = (report["dt_ms"] or 0.0) * max(report["keyframes"] or 1, 1)
+        per_frame_ms = report["track_ms"] + dt_total / max(
+            report["frames"] or n, 1
+        )
+    print(json.dumps({
+        "metric": "reference_binary_headtohead_640x480",
+        "n_frames": n,
+        "ref_returncode": rc,
+        "ref_report": report,
+        "ref_fps_own_report": (
+            round(1000.0 / per_frame_ms, 2) if per_frame_ms else None
+        ),
+        "ref_wall_s": round(wall, 2),
+        "ref_ate_m": round(ref_ate, 5) if ref_ate is not None else None,
+        "ours_ate_m_same_pngs": round(ours_ate, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()
