@@ -34,13 +34,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# Force the CPU backend BEFORE any jax use: the sitecustomize hook pins
+# every interpreter to the TPU tunnel, whose matmuls default to bf16 —
+# an ATE comparison run there silently degrades (measured 16.4 mm vs the
+# true 0.64 mm f32 result on the same frames) and the renderer's lie ops
+# would hang when the tunnel is wedged.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REF_BIN = os.environ.get("REVO_REF_BIN", "/tmp/refbuild/build/REVO")
 WORK = "/tmp/ref_dataset"
 SEQ = "synthetic"
 
 
-def render(n):
-    cache = f"/tmp/bench_frames_640x480_{n}_s0.npz"
+def _make_scene(family):
+    from revo_tpu.io.synthetic import SyntheticScene, box_scene, column_scene
+
+    if family == "plane":
+        return SyntheticScene()
+    if family == "box":
+        return box_scene()
+    if family == "column":
+        return column_scene()
+    if family == "box_noisy":
+        # The photometric sensor profile of the accuracy battery
+        # (tests/test_scenes.py SENSOR_PROFILE) plus Kinect-class depth
+        # corruption — the regime where both systems see a REAL sensor's
+        # frame-to-frame edge instability.
+        return box_scene(
+            image_noise=3.0, shot_noise=4.0, image_blur=0.5,
+            exposure_drift=0.05, vignette=0.25,
+            depth_noise=0.04, depth_hole_frac=0.2,
+        )
+    raise ValueError(family)
+
+
+def render(n, family="plane", seed=0):
+    cache = (
+        f"/tmp/bench_frames_640x480_{n}_s{seed}.npz"
+        if family == "plane" and seed == 0
+        else f"/tmp/refbench_{family}_640x480_{n}_s{seed}.npz"
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         return (
@@ -49,10 +84,12 @@ def render(n):
             z["gt"],
         )
     from revo_tpu.config import SystemConfig
-    from revo_tpu.io.synthetic import SyntheticScene, render_sequence
+    from revo_tpu.io.synthetic import render_sequence
 
     cfg = SystemConfig()
-    frames = list(render_sequence(SyntheticScene(), cfg.camera, n, seed=0))
+    frames = list(
+        render_sequence(_make_scene(family), cfg.camera, n, seed=seed)
+    )
     grays = [f[0] for f in frames]
     depths = [f[1] for f in frames]
     gt = np.stack([f[2] for f in frames])
@@ -154,9 +191,7 @@ def run_reference():
 def run_ours(root, n):
     """Our system on the SAME pngs (decode back like the reference does)."""
     import cv2
-    import jax
 
-    jax.config.update("jax_platforms", "cpu")
     from revo_tpu.config import SystemConfig
     from revo_tpu.system import VOSystem
 
@@ -185,11 +220,13 @@ def ate_rmse(est_t, gt):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    family = sys.argv[2] if len(sys.argv) > 2 else "plane"
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     if not os.path.exists(REF_BIN):
         print(json.dumps({"error": f"reference binary missing: {REF_BIN}; "
                           "run scripts/build_reference.sh"}))
         return
-    grays, depths, gt = render(n)
+    grays, depths, gt = render(n, family, seed)
     root = write_dataset(grays, depths, gt)
     report, ref_t, wall, rc = run_reference()
     ref_ate = ate_rmse(ref_t, gt) if len(ref_t) else None
@@ -205,6 +242,8 @@ def main():
         )
     print(json.dumps({
         "metric": "reference_binary_headtohead_640x480",
+        "family": family,
+        "seed": seed,
         "n_frames": n,
         "ref_returncode": rc,
         "ref_report": report,
