@@ -70,6 +70,37 @@ def _make_scene(family):
     raise ValueError(family)
 
 
+FR1_DIST = (0.262383, -0.953104, -0.005358, 0.002628, 1.163314)
+
+
+def _distort_captures(grays, depths, dist):
+    """Inverse-warp ideal renders through a TUM-fr1-coefficient lens
+    (cv2.undistortPoints iterative inversion — independent of
+    ops/undistort.py's forward-model maps; same construction as
+    tests/test_undistort_recorder.py)."""
+    import cv2
+
+    from revo_tpu.config import SystemConfig
+
+    cam = SystemConfig().camera
+    K = np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float64
+    )
+    u, v = np.meshgrid(
+        np.arange(cam.width, dtype=np.float64),
+        np.arange(cam.height, dtype=np.float64),
+    )
+    pts = np.stack([u.ravel(), v.ravel()], -1)[:, None, :]
+    und = cv2.undistortPoints(pts, K, np.array(dist, np.float64), P=K)
+    mu = und[:, 0, 0].reshape(cam.height, cam.width).astype(np.float32)
+    mv = und[:, 0, 1].reshape(cam.height, cam.width).astype(np.float32)
+    g_out, d_out = [], []
+    for g, d in zip(grays, depths):
+        g_out.append(cv2.remap(g.astype(np.float32), mu, mv, cv2.INTER_LINEAR))
+        d_out.append(cv2.remap(d.astype(np.float32), mu, mv, cv2.INTER_NEAREST))
+    return g_out, d_out
+
+
 def render(n, family="plane", seed=0):
     cache = (
         f"/tmp/bench_frames_640x480_{n}_s{seed}.npz"
@@ -101,7 +132,7 @@ def render(n, family="plane", seed=0):
     return grays, depths, gt
 
 
-def write_dataset(grays, depths, gt):
+def write_dataset(grays, depths, gt, dist=None):
     import cv2
 
     root = os.path.join(WORK, SEQ)
@@ -133,8 +164,11 @@ def write_dataset(grays, depths, gt):
             "%YAML:1.0\n"
             f"Camera.fx: {cam.fx}\nCamera.fy: {cam.fy}\n"
             f"Camera.cx: {cam.cx}\nCamera.cy: {cam.cy}\n"
-            "Camera.k1: 0.0\nCamera.k2: 0.0\nCamera.p1: 0.0\n"
-            "Camera.p2: 0.0\nCamera.k3: 0.0\n"
+            f"Camera.k1: {dist[0] if dist else 0.0}\n"
+            f"Camera.k2: {dist[1] if dist else 0.0}\n"
+            f"Camera.p1: {dist[2] if dist else 0.0}\n"
+            f"Camera.p2: {dist[3] if dist else 0.0}\n"
+            f"Camera.k3: {dist[4] if dist else 0.0}\n"
             f"Camera.width: {cam.width}\nCamera.height: {cam.height}\n"
             "cannyThreshold1: 150\ncannyThreshold2: 100\n"
             f'MainFolder: "{WORK}/"\n'
@@ -145,7 +179,7 @@ def write_dataset(grays, depths, gt):
             "USE_EDGE_HIST: 1\nnPercentage: 0.3\n"
             "useDepthTimeStamp: 0\nSKIP_FIRST_N_FRAMES: 0\n"
             "READ_N_IMAGES: 10000\nDEPTH_SCALE_FACTOR: 5000.0\n"
-            "DO_RECORD_IMAGES: 0\nDO_UNDISTORT: 0\n"
+            f"DO_RECORD_IMAGES: 0\nDO_UNDISTORT: {1 if dist else 0}\n"
         )
     with open(os.path.join(WORK, "settings.yaml"), "w") as f:
         f.write(
@@ -160,6 +194,9 @@ def write_dataset(grays, depths, gt):
 
 
 def run_reference():
+    pose_file = os.path.join(WORK, f"poses_{SEQ}.txt")
+    if os.path.exists(pose_file):
+        os.remove(pose_file)  # never parse a previous family's output
     t0 = time.perf_counter()
     r = subprocess.run(
         [REF_BIN, os.path.join(WORK, "settings.yaml"),
@@ -179,7 +216,6 @@ def run_reference():
         m = re.search(pat, out)
         report[key] = float(m.group(1)) if m else None
     poses = []
-    pose_file = os.path.join(WORK, f"poses_{SEQ}.txt")
     if os.path.exists(pose_file):
         for line in open(pose_file):
             v = line.split()
@@ -188,14 +224,21 @@ def run_reference():
     return report, np.array(poses), wall, r.returncode
 
 
-def run_ours(root, n):
+def run_ours(root, n, dist=None):
     """Our system on the SAME pngs (decode back like the reference does)."""
     import cv2
+    import dataclasses
 
     from revo_tpu.config import SystemConfig
     from revo_tpu.system import VOSystem
 
     cfg = SystemConfig()
+    if dist is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(cfg.camera, distortion=tuple(dist)),
+            pyramid=dataclasses.replace(cfg.pyramid, undistort=True),
+        )
     vo = VOSystem(cfg)
 
     def frames():
@@ -226,11 +269,17 @@ def main():
         print(json.dumps({"error": f"reference binary missing: {REF_BIN}; "
                           "run scripts/build_reference.sh"}))
         return
-    grays, depths, gt = render(n, family, seed)
-    root = write_dataset(grays, depths, gt)
+    dist = None
+    if family == "distorted":
+        grays, depths, gt = render(n, "plane", seed)
+        dist = FR1_DIST
+        grays, depths = _distort_captures(grays, depths, dist)
+    else:
+        grays, depths, gt = render(n, family, seed)
+    root = write_dataset(grays, depths, gt, dist)
     report, ref_t, wall, rc = run_reference()
     ref_ate = ate_rmse(ref_t, gt) if len(ref_t) else None
-    ours = run_ours(root, n)
+    ours = run_ours(root, n, dist)
     ours_ate = ate_rmse(ours[:, :3, 3], gt)
     # Per-frame reference cost by its own report: tracking + DT amortized
     # over frames (DT is per-keyframe).  Wall includes PNG decode+startup.
