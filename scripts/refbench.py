@@ -115,12 +115,21 @@ def render(n, family="plane", seed=0):
             z["gt"],
         )
     from revo_tpu.config import SystemConfig
-    from revo_tpu.io.synthetic import render_sequence
+    from revo_tpu.io.synthetic import render_sequence, render_trajectory
 
     cfg = SystemConfig()
-    frames = list(
-        render_sequence(_make_scene(family), cfg.camera, n, seed=seed)
-    )
+    if family == "fastpan":
+        # ~4x handheld lateral pan: exercises keyframe promotion in both
+        # systems (histogram-voting comparison, not just frame-to-kf).
+        scene = _make_scene("box")
+        traj = scene.trajectory(
+            n, seed=seed, translation_step=0.03, rotation_step=0.01
+        )
+        frames = list(render_trajectory(scene, cfg.camera, traj, seed=seed))
+    else:
+        frames = list(
+            render_sequence(_make_scene(family), cfg.camera, n, seed=seed)
+        )
     grays = [f[0] for f in frames]
     depths = [f[1] for f in frames]
     gt = np.stack([f[2] for f in frames])
@@ -252,8 +261,8 @@ def run_ours(root, n, dist=None):
             ).astype(np.float32) / 5000.0
             yield g, d, float(ts)
 
-    poses, _, _ = vo.run(frames())
-    return poses
+    poses, _, rep = vo.run(frames())
+    return poses, rep.keyframes
 
 
 def ate_rmse(est_t, gt):
@@ -279,7 +288,7 @@ def main():
     root = write_dataset(grays, depths, gt, dist)
     report, ref_t, wall, rc = run_reference()
     ref_ate = ate_rmse(ref_t, gt) if len(ref_t) else None
-    ours = run_ours(root, n, dist)
+    ours, ours_kfs = run_ours(root, n, dist)
     ours_ate = ate_rmse(ours[:, :3, 3], gt)
     # Per-frame reference cost by its own report: tracking + DT amortized
     # over frames (DT is per-keyframe).  Wall includes PNG decode+startup.
@@ -302,6 +311,7 @@ def main():
         "ref_wall_s": round(wall, 2),
         "ref_ate_m": round(ref_ate, 5) if ref_ate is not None else None,
         "ours_ate_m_same_pngs": round(ours_ate, 5),
+        "ours_keyframes": ours_kfs,
     }))
 
 
