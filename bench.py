@@ -56,7 +56,7 @@ def _budget_left() -> float:
     return MAX_SECONDS - (time.perf_counter() - _T_START)
 
 
-def _device_ok(timeout_s: float = 150.0) -> bool:
+def _device_ok(timeout_s: float = 210.0) -> bool:
     """Probe the device with a REAL dispatch + fetch in a subprocess: the
     axon tunnel can wedge server-side such that jax.devices() still
     succeeds but the first executed op blocks forever (observed 2026-08-20:
@@ -144,6 +144,7 @@ def _tunnel_healthy(min_calls_per_s: float = 2000.0) -> bool:
 def _wait_for_healthy_tunnel(max_wait_s: float = 120.0) -> None:
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < max_wait_s:
+        _beat()  # deliberate waiting must not trip the stall watchdog
         if _tunnel_healthy():
             return
         time.sleep(10.0)
