@@ -385,27 +385,34 @@ def _tpu_fps(cfg, grays, depths, gt_poses):
         out["percall_fps"] = N_TIMED / (time.perf_counter() - t_start)
         _beat(single_seq_fps=round(out["percall_fps"], 2))
 
-        # Streaming: host->device transfer every frame (the tunnel link in
-        # this environment is ~45 MB/s, far below a real host's PCIe/DMA).
-        # Per-frame latency is fetch-synced each iteration (the deployment
-        # semantics: a live consumer needs the pose NOW), so percentiles
-        # are honest single-frame latencies, not pipelined throughput.
-        lat = []
+        # Streaming THROUGHPUT: host->device transfer every frame,
+        # pipelined (one final sync) — the historical protocol; the
+        # tunnel link here is ~45 MB/s, far below a real host's PCIe/DMA.
         t_start = time.perf_counter()
         for i in range(N_TIMED):
+            gg = jax.device_put(g_u8[i % N_FRAMES])
+            dd = jax.device_put(d_u16[i % N_FRAMES])
+            res = vo_step(gg, dd, kf, res.R, res.t, cfg)
+        hard_sync(res.error)
+        out["streaming_fps"] = N_TIMED / (time.perf_counter() - t_start)
+        _beat(streaming_fps_tunnel=round(out["streaming_fps"], 2))
+
+        # Streaming LATENCY: fetch-synced each frame (the deployment
+        # semantics: a live consumer needs the pose NOW) — honest
+        # single-frame latencies, deliberately not pipelined.
+        lat = []
+        for i in range(12):
             t_f = time.perf_counter()
             gg = jax.device_put(g_u8[i % N_FRAMES])
             dd = jax.device_put(d_u16[i % N_FRAMES])
             res = vo_step(gg, dd, kf, res.R, res.t, cfg)
             hard_sync(res.error)
             lat.append((time.perf_counter() - t_f) * 1000.0)
-        out["streaming_fps"] = N_TIMED / (time.perf_counter() - t_start)
         p = np.percentile(lat, [50.0, 95.0, 99.0])
         out["latency_ms_p50"], out["latency_ms_p95"], out["latency_ms_p99"] = (
             float(p[0]), float(p[1]), float(p[2]),
         )
-        _beat(streaming_fps_tunnel=round(out["streaming_fps"], 2),
-              latency_ms_p99=round(out["latency_ms_p99"], 2))
+        _beat(latency_ms_p99=round(out["latency_ms_p99"], 2))
 
     # ---- Batched per-call (one vmapped step per dispatch).
     if _budget_left() > 70.0:

@@ -71,10 +71,14 @@ def _pair_system(
     """
     T_rel = jnp.linalg.inv(T_i) @ T_j
     R, t = T_rel[:3, :3], T_rel[:3, 3]
-    wxp = pts_j @ R.T + t
-    pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
-    u = wxp[:, 0] / pz * cam.fx + cam.cx
-    v = wxp[:, 1] / pz * cam.fy + cam.cy
+    # Exact-f32 projection via fused FMAs (solver._apply_rt_cols: bf16
+    # MXU rounding on metric coordinates measurably degrades accuracy).
+    from revo_tpu.solver import _apply_rt_cols
+
+    wx, wy, wz = _apply_rt_cols(pts_j, R, t)
+    pz = jnp.where(wz == 0, 1e-12, wz)
+    u = wx / pz * cam.fx + cam.cx
+    v = wy / pz * cam.fy + cam.cy
     inb = (u > 1.0) & (v > 1.0) & (u < cam.width - 2.0) & (
         v < cam.height - 2.0
     )
@@ -89,7 +93,7 @@ def _pair_system(
 
     iz = 1.0 / pz
     iz2 = iz * iz
-    px, py = wxp[:, 0], wxp[:, 1]
+    px, py = wx, wy
     Jr = jnp.stack(
         [
             iz * gx,

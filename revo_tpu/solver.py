@@ -99,6 +99,22 @@ def _solve_damped(Ad, g, impl: str):
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _apply_rt_cols(pts, R, t):
+    """(R @ p + t) for (P, 3) points, returned as (x, y, z) column vectors.
+
+    Written as nine scalar-broadcast FMAs instead of a matmul: on TPU the
+    default matmul precision is bf16, whose 0.4% relative rounding on
+    metric point coordinates measurably degrades ATE, and even an f32
+    MXU pass is slower than VPU elementwise work that fuses into the
+    projection arithmetic around it (scripts/probes/ab_precision.py).
+    """
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    wx = R[..., 0, 0] * x + R[..., 0, 1] * y + R[..., 0, 2] * z + t[..., 0]
+    wy = R[..., 1, 0] * x + R[..., 1, 1] * y + R[..., 1, 2] * z + t[..., 1]
+    wz = R[..., 2, 0] * x + R[..., 2, 1] * y + R[..., 2, 2] * z + t[..., 2]
+    return wx, wy, wz
+
+
 def solve6_ldlt(A: jax.Array, b: jax.Array) -> jax.Array:
     """Solve A x = b for symmetric positive-(semi)definite 6x6 A with an
     unrolled LDL^T factorization (no pivoting).
@@ -183,8 +199,12 @@ def _residual_sums(
     pts = cloud.points  # (P, 3)
     w_img, h_img = cam.width, cam.height
 
-    wxp = pts @ R.T + t  # (P, 3)
-    px, py, pz = wxp[:, 0], wxp[:, 1], wxp[:, 2]
+    # f32 projection as elementwise VPU FMAs: bf16 MXU point-coordinate
+    # rounding (~0.4% relative = mm-to-cm at scene depth) dominated the
+    # TPU ATE gap (ab_precision: 2.06 -> 0.97 mm), and a 3-pass f32 MXU
+    # matmul costs ~0.2 ms/step — nine scalar-broadcast FMAs are exact
+    # f32 AND fuse into the surrounding projection arithmetic.
+    px, py, pz = _apply_rt_cols(pts, R, t)
     pz_safe = jnp.where(pz == 0, 1e-12, pz)
     u = px / pz_safe * cam.fx + cam.cx
     v = py / pz_safe * cam.fy + cam.cy
@@ -230,7 +250,8 @@ def _residual_sums(
         from revo_tpu.ops.pallas.lgsx import lgsx_reduce
 
         A, gvec, sum_w = lgsx_reduce(
-            wxp, jnp.stack([gx, gy], axis=-1), r, wg
+            jnp.stack([px, py, pz], axis=-1),
+            jnp.stack([gx, gy], axis=-1), r, wg,
         )
     else:
         # 6-dof Jacobian per point (optimizer.cpp:216-228, Kerl MSc p.34;
@@ -700,10 +721,10 @@ def eval_cost(
     comparison apparently errs toward identity in exactly the frames
     where the motion prior is unreliable."""
     pts = cloud.points
-    wxp = pts @ R.T + t
-    pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
-    u = wxp[:, 0] / pz * cam.fx + cam.cx
-    v = wxp[:, 1] / pz * cam.fy + cam.cy
+    wx, wy, wz = _apply_rt_cols(pts, R, t)  # exact-f32 projection
+    pz = jnp.where(wz == 0, 1e-12, wz)
+    u = wx / pz * cam.fx + cam.cx
+    v = wy / pz * cam.fy + cam.cy
     inb = (u >= 0) & (v >= 0) & (u < cam.width) & (v < cam.height)
     inb = inb & cloud.valid
     ui = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cam.width - 1)

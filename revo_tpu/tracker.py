@@ -334,7 +334,9 @@ def assess_tracking_quality(
         T = inv_est @ past.poses[slot]  # past-cam -> current-cam
         R, t = T[:3, :3], T[:3, 3]
         pts = past.points[slot]
-        wxp = pts @ R.T + t
+        wxp = jnp.matmul(
+            pts, R.T, precision=jax.lax.Precision.HIGHEST
+        ) + t
         pz = jnp.where(wxp[:, 2] == 0, 1e-12, wxp[:, 2])
         u = wxp[:, 0] / pz * cam.fx + cam.cx
         v = wxp[:, 1] / pz * cam.fy + cam.cy
