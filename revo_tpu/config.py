@@ -174,6 +174,14 @@ class OptimizerConfig:
     # B=8.  Fourth failed reformulation of this gather (interp.py:93
     # lists the other three); kept as a documented A/B knob.
     lane_select: str = "onehot"
+    # SE(3) point-projection arithmetic inside the residual pass.  "fma"
+    # (default): nine scalar-broadcast f32 FMAs — exact f32; on v5e this
+    # HALVES tracking ATE vs the bf16 MXU default (2.06 -> 0.97 mm,
+    # scripts/probes/ab_precision.py) at ~0.5 ms/step B=8 (device 6.85 ->
+    # 7.41 ms; Precision.HIGH 8.13 and an optimization_barrier'd FMA 7.46
+    # were both measured worse).  "bf16": the plain MXU matmul — the
+    # throughput point when mm-level ATE is not required.
+    proj_impl: str = "fma"
     # 6x6 damped-normal-equation solve: "ldlt" = unrolled pivot-free LDL^T
     # (straight-line code; jnp.linalg.solve's general LU lowers to a serial
     # while loop on TPU), "linalg" = jnp.linalg.solve.

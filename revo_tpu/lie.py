@@ -24,13 +24,39 @@ import jax.numpy as jnp
 # On TPU, default matmul precision is bf16: a 0.4% relative error on
 # metric quantities (rotations, translations, point coordinates) that
 # measurably degrades trajectory accuracy (ab_precision: ATE 2.06 ->
-# 0.97 mm under f32 matmuls).  All products here are tiny (3x3 /
-# (N,3)x(3,3)), so full f32 precision is free.
+# 0.97 mm under f32 matmuls).  The 3x3/3-vector products here run inside
+# the solver's per-iteration pose update, so they are UNROLLED into
+# elementwise FMAs — exact f32 on the VPU, fusing into the while body —
+# rather than Precision.HIGHEST MXU dots, whose 3-pass structure adds
+# measurable per-iteration overhead for 9-element products.
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_MM_PREC)
+    """Unrolled (..., 3, 3) @ (..., 3, 3) as exact-f32 elementwise FMAs."""
+    rows = []
+    for i in range(3):
+        cols = [
+            a[..., i, 0] * b[..., 0, j]
+            + a[..., i, 1] * b[..., 1, j]
+            + a[..., i, 2] * b[..., 2, j]
+            for j in range(3)
+        ]
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def _mv(a, v):
+    """Unrolled (..., 3, 3) @ (..., 3) as exact-f32 elementwise FMAs."""
+    return jnp.stack(
+        [
+            a[..., i, 0] * v[..., 0]
+            + a[..., i, 1] * v[..., 1]
+            + a[..., i, 2] * v[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 _EPS = 1e-8
@@ -168,7 +194,7 @@ def exp_se3(xi: jax.Array):
     W2 = _mm(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", V, upsilon, precision=_MM_PREC)
+    t = _mv(V, upsilon)
     return R, t
 
 
@@ -191,20 +217,18 @@ def log_se3(R: jax.Array, t: jax.Array) -> jax.Array:
     W2 = _mm(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
     Vinv = eye - 0.5 * W + e[..., None, None] * W2
-    upsilon = jnp.einsum("...ij,...j->...i", Vinv, t, precision=_MM_PREC)
+    upsilon = _mv(Vinv, t)
     return jnp.concatenate([upsilon, omega], axis=-1)
 
 
 def compose(R1, t1, R2, t2):
     """(R1,t1) * (R2,t2): first apply 2, then 1."""
-    return _mm(R1, R2), jnp.einsum(
-        "...ij,...j->...i", R1, t2, precision=_MM_PREC
-    ) + t1
+    return _mm(R1, R2), _mv(R1, t2) + t1
 
 
 def inverse(R, t):
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_MM_PREC)
+    return Rt, -_mv(Rt, t)
 
 
 def transform_points(R, t, pts):

@@ -189,6 +189,7 @@ def _residual_sums(
     use_pallas_lgsx: bool = False,
     bilinear_impl: str = "take4",
     lane=None,
+    proj_impl: str = "fma",
 ):
     """Unnormalized accumulation over (a shard of) the edge cloud.
 
@@ -204,7 +205,13 @@ def _residual_sums(
     # TPU ATE gap (ab_precision: 2.06 -> 0.97 mm), and a 3-pass f32 MXU
     # matmul costs ~0.2 ms/step — nine scalar-broadcast FMAs are exact
     # f32 AND fuse into the surrounding projection arithmetic.
-    px, py, pz = _apply_rt_cols(pts, R, t)
+    if proj_impl == "bf16":
+        wxp = pts @ R.T + t
+        px, py, pz = wxp[:, 0], wxp[:, 1], wxp[:, 2]
+    elif proj_impl == "fma":
+        px, py, pz = _apply_rt_cols(pts, R, t)
+    else:
+        raise ValueError(f"unknown proj_impl {proj_impl!r}")
     pz_safe = jnp.where(pz == 0, 1e-12, pz)
     u = px / pz_safe * cam.fx + cam.cx
     v = py / pz_safe * cam.fy + cam.cy
@@ -303,6 +310,7 @@ def residual_system(
     use_pallas_lgsx: bool = False,
     bilinear_impl: str = "take4",
     lane=None,
+    proj_impl: str = "fma",
 ) -> LevelSystem:
     """calcErrorAndBuffers + calculateWarpUpdate fused into one dense pass.
 
@@ -313,7 +321,7 @@ def residual_system(
     return _normalize_sums(
         *_residual_sums(
             struct, cloud, cam, R, t, edge_distance, huber, use_edge_filter,
-            use_pallas_lgsx, bilinear_impl, lane,
+            use_pallas_lgsx, bilinear_impl, lane, proj_impl,
         )
     )
 
@@ -394,6 +402,7 @@ def lm_level(
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
             opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
+            proj_impl=opt.proj_impl,
         )
 
     sys0 = evaluate(R0, t0)
@@ -522,7 +531,7 @@ def _gn_level_fixed(
         return residual_system(
             struct, cloud, cam, R, t, edge_dist, opt.huber_edge,
             opt.use_edge_filter, opt.use_pallas_lgsx, opt.bilinear_impl,
-            lane,
+            lane, proj_impl=opt.proj_impl,
         )
 
     # The initial linearization is folded INTO the loop: with a zero

@@ -36,6 +36,24 @@ if _ls:
         ),
     )
     print(f"LANE_SELECT={_ls}", flush=True)
+_comp = os.environ.get("COMPACTION")
+if _comp:
+    cfg_b = dataclasses.replace(
+        cfg_b, pyramid=dataclasses.replace(cfg_b.pyramid, compaction=_comp)
+    )
+    print(f"COMPACTION={_comp}", flush=True)
+_proj = os.environ.get("PROJ_IMPL")
+if _proj:
+    cfg_b = dataclasses.replace(
+        cfg_b,
+        tracker=dataclasses.replace(
+            cfg_b.tracker,
+            optimizer=dataclasses.replace(
+                cfg_b.tracker.optimizer, proj_impl=_proj
+            ),
+        ),
+    )
+    print(f"PROJ_IMPL={_proj}", flush=True)
 _cap = float(os.environ.get("CAP_SCALE", "0"))
 frames = list(render_sequence(SyntheticScene(), cfg.camera, 3, seed=0))
 if _cap > 0:
