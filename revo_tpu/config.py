@@ -77,8 +77,10 @@ class PyramidConfig:
     # cap50, 9.5 ms at exact-fit vs 10.9 (scripts/probes/ab_table.py).
     # "rank_sort2" packs the lane index into the sort key's low byte
     # (key*256 + lane, < 2^24 so f32-exact) so the sort carries one fewer
-    # operand.  All four forms are bit-identical (fuzz-gated in test_ops).
-    compaction: str = "rank_sort"
+    # operand.  All four forms are bit-identical (fuzz-gated in test_ops);
+    # rank_sort2 measured device step 7.31 vs 7.41 ms at B=8 (trace_batch,
+    # sorts 0.73 -> 0.62 ms) and is the default.
+    compaction: str = "rank_sort2"
     n_percentage: float = 0.3  # occupancy threshold for fill-in
     # Patch sizes of the per-level edge-occupancy histogram; "chosen in a way
     # that we always get 32x24 patches for 3 levels starting from 640x480"
@@ -118,7 +120,13 @@ class OptimizerConfig:
     # damping halved/quadrupled — same fixed point, ~3x fewer device loop
     # iterations.  ATE parity is gated in tests/test_solver_modes.py.
     solver: str = "lm"
-    fixed_iters: Tuple[int, ...] = (12, 12, 12, 12, 12, 12)  # per level
+    # Per-level gn_fixed iteration counts, index 0 = finest.  The solve is
+    # coarse-to-fine, so by the finest (most expensive) level the pose is
+    # nearly converged: 6 its at L0 measured ATE-identical to 12 (0.970 mm
+    # to 1 um on the bench chain; scripts/probes/ab_iters.py, schedules
+    # 12,12,12 / 8,* / 6,* all 0.970) while saving the most costly evals.
+    # Gated by the gn-vs-lm parity battery (test_solver_modes).
+    fixed_iters: Tuple[int, ...] = (6, 10, 12, 12, 12, 12)  # per level
     # Accumulate the 6x6 normal equations with the Pallas LGSX reduction
     # kernel (ops/pallas/lgsx.py) instead of XLA einsums.
     use_pallas_lgsx: bool = False

@@ -125,7 +125,7 @@ agg = collections.Counter(); cnt = collections.Counter()
 for e in data.get('traceEvents', []):
     if e.get('ph') == 'X' and 'dur' in e:
         agg[e.get('name','')] += e['dur']; cnt[e.get('name','')] += 1
-for name, us in agg.most_common(28):
+for name, us in agg.most_common(60):
     op, src = attr.get(name, ("", ""))
     print(f"{us/N:9.0f} us/step x{cnt[name]/N:5.1f}  {name[:40]:40s} "
           f"{src:28s} {op[-70:]}", flush=True)
