@@ -24,39 +24,22 @@ import jax.numpy as jnp
 # On TPU, default matmul precision is bf16: a 0.4% relative error on
 # metric quantities (rotations, translations, point coordinates) that
 # measurably degrades trajectory accuracy (ab_precision: ATE 2.06 ->
-# 0.97 mm under f32 matmuls).  The 3x3/3-vector products here run inside
-# the solver's per-iteration pose update, so they are UNROLLED into
-# elementwise FMAs — exact f32 on the VPU, fusing into the while body —
-# rather than Precision.HIGHEST MXU dots, whose 3-pass structure adds
-# measurable per-iteration overhead for 9-element products.
+# 0.97 mm under f32 matmuls).  The 3x3/3-vector products here use ONE
+# einsum each at f32 precision: an unrolled elementwise form was tried
+# and REVERTED — it emits ~60 tiny scalar HLO ops per pose update, which
+# cost ~1 ms/chained-step inside the LM while body (single-seq chain
+# 2.88 -> 3.78 ms measured), while the single 3-pass MXU dot is one op.
 _MM_PREC = jax.lax.Precision.HIGHEST
 
 
 def _mm(a, b):
-    """Unrolled (..., 3, 3) @ (..., 3, 3) as exact-f32 elementwise FMAs."""
-    rows = []
-    for i in range(3):
-        cols = [
-            a[..., i, 0] * b[..., 0, j]
-            + a[..., i, 1] * b[..., 1, j]
-            + a[..., i, 2] * b[..., 2, j]
-            for j in range(3)
-        ]
-        rows.append(jnp.stack(cols, axis=-1))
-    return jnp.stack(rows, axis=-2)
+    """(..., 3, 3) @ (..., 3, 3) at exact-f32 precision, one HLO op."""
+    return jnp.einsum("...ik,...kj->...ij", a, b, precision=_MM_PREC)
 
 
 def _mv(a, v):
-    """Unrolled (..., 3, 3) @ (..., 3) as exact-f32 elementwise FMAs."""
-    return jnp.stack(
-        [
-            a[..., i, 0] * v[..., 0]
-            + a[..., i, 1] * v[..., 1]
-            + a[..., i, 2] * v[..., 2]
-            for i in range(3)
-        ],
-        axis=-1,
-    )
+    """(..., 3, 3) @ (..., 3) at exact-f32 precision, one HLO op."""
+    return jnp.einsum("...ij,...j->...i", a, v, precision=_MM_PREC)
 
 
 _EPS = 1e-8
