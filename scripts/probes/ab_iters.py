@@ -72,7 +72,8 @@ print(json.dumps({
 
 def main():
     code = CHILD % {"root": HERE}
-    for mode in ("12,12,12", "8,10,12", "6,10,12", "8,12,12", "6,8,12"):
+    modes = os.environ.get("AB_ITERS_MODES", "12,12,12 8,10,12 6,10,12 8,12,12 6,8,12").split()
+    for mode in modes:
         env = dict(os.environ, AB_ITERS=mode)
         r = subprocess.run(
             [sys.executable, "-c", code], env=env, capture_output=True,
