@@ -72,8 +72,15 @@ print(json.dumps({
 
 def main():
     code = CHILD % {"root": HERE}
-    modes = os.environ.get("AB_ITERS_MODES", "12,12,12 8,10,12 6,10,12 8,12,12 6,8,12").split()
+    default_modes = "12,12,12 8,10,12 6,10,12 8,12,12 6,8,12"
+    modes = (os.environ.get("AB_ITERS_MODES") or default_modes).split()
+    if not modes:
+        modes = default_modes.split()
     for mode in modes:
+        parsed = [x for x in mode.split(",") if x.strip()]
+        if not 0 < len(parsed) <= 6 or not all(x.strip().isdigit() for x in parsed):
+            print(f"{mode}: SKIPPED (need 1-6 comma-separated ints)")
+            continue
         env = dict(os.environ, AB_ITERS=mode)
         r = subprocess.run(
             [sys.executable, "-c", code], env=env, capture_output=True,
