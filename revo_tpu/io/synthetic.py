@@ -33,6 +33,14 @@ class Plane:
     a2: np.ndarray  # (3,) texture v axis
     phase: float = 0.0
     bounds: Tuple[float, float, float, float] | None = None  # ulo,uhi,vlo,vhi
+    # Texture mode: "full" (default aperiodic grid+blobs), "flat" (constant
+    # intensity — NO in-surface Canny edges; only this plane's boundaries
+    # against other surfaces produce edges), "discs" (flat base + the few
+    # unique high-contrast landmark discs only).  "flat"/"discs" build the
+    # edge-sparse regime the BMVC17 fill-in exists for
+    # (imgpyramidrgbd.cpp:111-172).
+    texture: str = "full"
+    flat_value: float = 120.0
 
 
 def _default_planes() -> List[Plane]:
@@ -95,7 +103,8 @@ class Cylinder:
 
 
 def box_faces(
-    center, half_size, phase0: float = 0.0
+    center, half_size, phase0: float = 0.0,
+    texture: str = "full", flat_base: float = 120.0,
 ) -> List[Plane]:
     """Six bounded textured faces of an axis-aligned cuboid.
 
@@ -125,6 +134,11 @@ def box_faces(
                     a2=a2.copy(),
                     phase=phase0 + 0.7 * len(faces),
                     bounds=(float(ulo), float(uhi), float(vlo), float(vhi)),
+                    texture=texture,
+                    # Flat faces alternate brightness so box creases and
+                    # silhouettes stay visible as intensity edges even with
+                    # zero in-surface texture (the edge-sparse regime).
+                    flat_value=flat_base + 35.0 * ((len(faces) % 3) - 1),
                 )
             )
     return faces
@@ -138,6 +152,37 @@ def box_scene(**kw) -> "SyntheticScene":
     planes = _default_planes()[:3]  # walls + floor only
     planes += box_faces((-0.25, 0.45, 1.9), (0.22, 0.16, 0.18), phase0=4.2)
     planes += box_faces((0.42, -0.05, 2.45), (0.18, 0.26, 0.15), phase0=7.9)
+    return SyntheticScene(planes=planes, **kw)
+
+
+def sparse_scene(**kw) -> "SyntheticScene":
+    """Edge-sparse / low-texture scene family: flat (textureless) walls and
+    floor plus two flat-faced cuboids and a handful of landmark discs.  The
+    only Canny edges are surface boundaries — wall/floor creases, box
+    creases, box-vs-wall silhouettes — and the disc rims, so large image
+    regions are blank and coarse-level patch occupancy drops below the
+    reference's nPercentage threshold: the regime BMVC17 edge fill-in
+    exists for (imgpyramidrgbd.cpp:111-172, fillInEdges).  Gated end-to-end
+    in tests/test_scenes.py (fill-in fires AND ATE holds) and run through
+    the reference head-to-head in scripts/refbench.py."""
+    walls = _default_planes()[:3]
+    flat_vals = (150.0, 95.0, 60.0)  # back/floor/side: creases stay visible
+    planes = []
+    for pl, fv in zip(walls, flat_vals):
+        # Back wall keeps the landmark discs (sparse unique anchors so the
+        # alignment is not line-only); floor and side wall are fully flat.
+        mode = "discs" if fv == 150.0 else "flat"
+        planes.append(
+            dataclasses.replace(pl, texture=mode, flat_value=fv)
+        )
+    planes += box_faces(
+        (-0.25, 0.45, 1.9), (0.22, 0.16, 0.18), phase0=4.2,
+        texture="flat", flat_base=200.0,
+    )
+    planes += box_faces(
+        (0.42, -0.05, 2.45), (0.18, 0.26, 0.15), phase0=7.9,
+        texture="flat", flat_base=30.0,
+    )
     return SyntheticScene(planes=planes, **kw)
 
 
@@ -225,7 +270,16 @@ def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
     )
     fine = np.tanh(5.0 * np.sin(2 * np.pi * (uw + vw) / 0.21 + phase))
     tex = 120.0 + 45.0 * grid + 25.0 * blob + 15.0 * fine * (blob > 0.3)
-    # Unique landmarks: a few deterministic high-contrast discs per plane.
+    tex = _add_landmark_discs(tex, u, v, phase)
+    return np.clip(tex, 0.0, 255.0)
+
+
+def _add_landmark_discs(
+    tex: np.ndarray, u: np.ndarray, v: np.ndarray, phase: float,
+    amp: float = 70.0,
+) -> np.ndarray:
+    """Unique landmarks: a few deterministic high-contrast discs per plane
+    (breaks any residual translational symmetry of the base texture)."""
     rng = np.random.default_rng(int(phase * 1000) + 7)
     for _ in range(6):
         cu = rng.uniform(-2.0, 2.0)
@@ -233,8 +287,20 @@ def _texture(u: np.ndarray, v: np.ndarray, phase: float) -> np.ndarray:
         rad = rng.uniform(0.08, 0.2)
         sgn = rng.choice([-1.0, 1.0])
         d2 = (u - cu) ** 2 + (v - cv_) ** 2
-        tex += sgn * 70.0 * (d2 < rad * rad)
-    return np.clip(tex, 0.0, 255.0)
+        tex = tex + sgn * amp * (d2 < rad * rad)
+    return tex
+
+
+def _plane_texture(pl: "Plane", u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Dispatch on the plane's texture mode (see Plane.texture)."""
+    if pl.texture == "full":
+        return _texture(u, v, pl.phase)
+    base = np.full_like(u, pl.flat_value, dtype=np.float64)
+    if pl.texture == "discs":
+        base = _add_landmark_discs(base, u, v, pl.phase)
+    elif pl.texture != "flat":
+        raise ValueError(f"unknown texture mode {pl.texture!r}")
+    return np.clip(base, 0.0, 255.0)
 
 
 @dataclasses.dataclass
@@ -317,7 +383,7 @@ def render_frame(
         if pl.bounds is not None:
             ulo, uhi, vlo, vhi = pl.bounds
             hit = hit & (u >= ulo) & (u <= uhi) & (v >= vlo) & (v <= vhi)
-        tex = _texture(u, v, pl.phase)
+        tex = _plane_texture(pl, u, v)
         gray = np.where(hit, tex, gray)
         best_t = np.where(hit, t, best_t)
 
@@ -404,3 +470,43 @@ def render_sequence(
     for i, T in enumerate(traj):
         gray, depth = render_frame(scene, cam, T, seed=seed * 1000 + i)
         yield gray, depth, T, float(i) / 30.0
+
+
+def _render_one(args):
+    scene, cam, T, seed = args
+    return render_frame(scene, cam, T, seed=seed)
+
+
+def render_trajectory_parallel(
+    scene: SyntheticScene,
+    cam: CameraConfig,
+    traj: np.ndarray,
+    seed: int = 0,
+    workers: int | None = None,
+):
+    """render_trajectory with a process pool: bit-identical per-frame output
+    (each frame's seed is ``seed*1000 + i`` exactly as the serial paths use)
+    but ~Nx faster on multi-core hosts — long-sequence datasets (refbench
+    v2 300-500-frame head-to-heads, the 1000-frame soak) render in minutes
+    instead of tens of minutes.  Spawn context: workers only run the pure
+    -NumPy render_frame, never touching JAX device state."""
+    import multiprocessing as mp
+    import os
+    import sys
+
+    n = len(traj)
+    jobs = [(scene, cam, traj[i], seed * 1000 + i) for i in range(n)]
+    # Spawn re-imports __main__ in each worker; with an unimportable
+    # __main__ (stdin scripts, some REPLs) the pool respawns dying workers
+    # forever — fall back to serial rendering there.
+    main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+    if main_file is None or not os.path.exists(main_file):
+        outs = [_render_one(j) for j in jobs]
+    else:
+        ctx = mp.get_context("spawn")
+        workers = workers or max(mp.cpu_count() - 1, 1)
+        with ctx.Pool(workers) as pool:
+            outs = pool.map(_render_one, jobs, chunksize=8)
+    return [
+        (g, d, traj[i], float(i) / 30.0) for i, (g, d) in enumerate(outs)
+    ]

@@ -49,7 +49,12 @@ SEQ = "synthetic"
 
 
 def _make_scene(family):
-    from revo_tpu.io.synthetic import SyntheticScene, box_scene, column_scene
+    from revo_tpu.io.synthetic import (
+        SyntheticScene,
+        box_scene,
+        column_scene,
+        sparse_scene,
+    )
 
     if family == "plane":
         return SyntheticScene()
@@ -57,6 +62,11 @@ def _make_scene(family):
         return box_scene()
     if family == "column":
         return column_scene()
+    if family == "sparse":
+        # Edge-sparse / low-texture: flat walls + flat-faced boxes, only
+        # silhouette/crease edges — drives BOTH systems' BMVC17 fill-in
+        # (imgpyramidrgbd.cpp:111-172) end-to-end.
+        return sparse_scene()
     if family == "box_noisy":
         # The photometric sensor profile of the accuracy battery
         # (tests/test_scenes.py SENSOR_PROFILE) plus Kinect-class depth
@@ -115,7 +125,10 @@ def render(n, family="plane", seed=0):
             z["gt"],
         )
     from revo_tpu.config import SystemConfig
-    from revo_tpu.io.synthetic import render_sequence, render_trajectory
+    from revo_tpu.io.synthetic import (
+        loop_trajectory,
+        render_trajectory_parallel,
+    )
 
     cfg = SystemConfig()
     if family == "fastpan":
@@ -125,11 +138,25 @@ def render(n, family="plane", seed=0):
         traj = scene.trajectory(
             n, seed=seed, translation_step=0.03, rotation_step=0.01
         )
-        frames = list(render_trajectory(scene, cfg.camera, traj, seed=seed))
-    else:
-        frames = list(
-            render_sequence(_make_scene(family), cfg.camera, n, seed=seed)
+    elif family == "orbit":
+        # Long-run family (VERDICT r4 #3): a full lateral orbit with yaw
+        # sweeps — large total excursion, so keyframe promotion fires
+        # repeatedly in both systems and drift accumulates over hundreds
+        # of frames (the regime where the reference's promotion cadence
+        # and unbounded past-cloud list, tracker.cpp:110-223, matter).
+        scene = _make_scene("box")
+        traj = loop_trajectory(n, radius=0.35, wobble=0.002, seed=seed)
+    elif family == "panmix":
+        # Long-run mixed pan: ~2.5x handheld random walk on the curved
+        # -surface scene — sustained motion with promotions.
+        scene = _make_scene("column")
+        traj = scene.trajectory(
+            n, seed=seed, translation_step=0.02, rotation_step=0.006
         )
+    else:
+        scene = _make_scene(family)
+        traj = scene.trajectory(n, seed=seed)
+    frames = render_trajectory_parallel(scene, cfg.camera, traj, seed=seed)
     grays = [f[0] for f in frames]
     depths = [f[1] for f in frames]
     gt = np.stack([f[2] for f in frames])
@@ -224,13 +251,35 @@ def run_reference():
     ]:
         m = re.search(pat, out)
         report[key] = float(m.group(1)) if m else None
-    poses = []
+    poses, idxs = [], []
     if os.path.exists(pose_file):
         for line in open(pose_file):
             v = line.split()
             if len(v) >= 8:
-                poses.append([float(x) for x in v[1:4]])
-    return report, np.array(poses), wall, r.returncode
+                # writePose format: ts tx ty tz qx qy qz qw
+                # (system.cpp:76-79); rebuild the full SE(3) so RPE (the
+                # TUM protocol's second metric) is computable.
+                t = np.array([float(x) for x in v[1:4]])
+                qx, qy, qz, qw = (float(x) for x in v[4:8])
+                T = np.eye(4)
+                T[:3, :3] = _quat_to_R(qx, qy, qz, qw)
+                T[:3, 3] = t
+                poses.append(T)
+                idxs.append(int(round(float(v[0]) * 30.0)))
+    return report, np.array(poses), np.array(idxs, int), wall, r.returncode
+
+
+def _quat_to_R(qx, qy, qz, qw):
+    n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+    return np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
 
 
 def run_ours(root, n, dist=None):
@@ -270,6 +319,31 @@ def ate_rmse(est_t, gt):
     return float(np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, axis=-1))))
 
 
+def _metrics(est_poses, gt, idxs=None):
+    """TUM-protocol metrics (README.md:57 requires ATE AND RPE): Horn
+    -aligned translational ATE RMSE, plus per-frame (delta=1) and
+    per-second (delta=30 at the 30 Hz timestamp convention) RPE.  ``idxs``
+    associates estimated rows with ground-truth frame indices (the
+    reference emits one pose per processed frame, timestamped i/30)."""
+    from revo_tpu.eval import absolute_trajectory_error, relative_pose_error
+
+    if idxs is None:
+        idxs = np.arange(len(est_poses))
+    gt_assoc = gt[idxs]
+    ate = absolute_trajectory_error(est_poses, gt_assoc)
+    rpe1 = relative_pose_error(est_poses, gt_assoc, delta=1)
+    d30 = min(30, max(len(est_poses) - 1, 1))
+    rpe30 = relative_pose_error(est_poses, gt_assoc, delta=d30)
+    return {
+        "ate_m": round(ate.rmse, 5),
+        "ate_raw_m": round(ate_rmse(est_poses[:, :3, 3], gt_assoc), 5),
+        "rpe1_m": round(rpe1.trans_rmse, 6),
+        "rpe1_deg": round(rpe1.rot_rmse_deg, 4),
+        "rpe30_m": round(rpe30.trans_rmse, 5),
+        "rpe30_deg": round(rpe30.rot_rmse_deg, 3),
+    }
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     family = sys.argv[2] if len(sys.argv) > 2 else "plane"
@@ -286,10 +360,10 @@ def main():
     else:
         grays, depths, gt = render(n, family, seed)
     root = write_dataset(grays, depths, gt, dist)
-    report, ref_t, wall, rc = run_reference()
-    ref_ate = ate_rmse(ref_t, gt) if len(ref_t) else None
+    report, ref_poses, ref_idxs, wall, rc = run_reference()
+    ref_m = _metrics(ref_poses, gt, ref_idxs) if len(ref_poses) else None
     ours, ours_kfs = run_ours(root, n, dist)
-    ours_ate = ate_rmse(ours[:, :3, 3], gt)
+    ours_m = _metrics(ours, gt)
     # Per-frame reference cost by its own report: tracking + DT amortized
     # over frames (DT is per-keyframe).  Wall includes PNG decode+startup.
     per_frame_ms = None
@@ -309,8 +383,11 @@ def main():
             round(1000.0 / per_frame_ms, 2) if per_frame_ms else None
         ),
         "ref_wall_s": round(wall, 2),
-        "ref_ate_m": round(ref_ate, 5) if ref_ate is not None else None,
-        "ours_ate_m_same_pngs": round(ours_ate, 5),
+        "ref_metrics": ref_m,
+        "ref_ate_m": ref_m["ate_m"] if ref_m else None,
+        "ours_metrics": ours_m,
+        "ours_ate_m_same_pngs": ours_m["ate_m"],
+        "ref_keyframes": report.get("keyframes"),
         "ours_keyframes": ours_kfs,
     }))
 

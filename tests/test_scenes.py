@@ -181,6 +181,71 @@ class TestPhotometricRobustness:
         assert ate.rmse < 0.035, f"full-corruption ATE {ate.rmse:.4f} m"
 
 
+class TestSparseScene:
+    """Edge-sparse / low-texture family (VERDICT r4 #5): flat walls +
+    flat-faced boxes — only silhouette/crease edges and a few landmark
+    discs, the regime BMVC17 edge fill-in exists for
+    (imgpyramidrgbd.cpp:111-172).  At 640x480 coarse-level patch occupancy
+    drops well below n_percentage, so fill-in actually FIRES end-to-end;
+    the same family runs through the reference head-to-head
+    (scripts/refbench.py 'sparse')."""
+
+    def test_fill_in_fires_on_sparse_frame_640(self):
+        """Mechanism gate at full resolution: occupancy < n_percentage at
+        the coarse levels and the fill-in actually modified the edge map
+        (edges != edges_orig for lvl > 0)."""
+        import jax.numpy as jnp
+
+        from revo_tpu import ops
+        from revo_tpu.frontend import build_frame
+        from revo_tpu.io.synthetic import render_frame, sparse_scene
+
+        cfg = SystemConfig()
+        scene = sparse_scene()
+        g, d = render_frame(scene, cfg.camera, np.eye(4), seed=1)
+        f = build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+        for lvl in (1, 2):
+            lv = f.levels[lvl]
+            _, occ = ops.patch_histogram(
+                lv.edges_orig, cfg.pyramid.dist_patch_sizes[lvl]
+            )
+            assert float(occ) < cfg.pyramid.n_percentage, (
+                f"lvl{lvl} occupancy {float(occ):.3f} not sparse"
+            )
+            n_filled = int(lv.edges.sum()) - int(lv.edges_orig.sum())
+            assert n_filled > 0, f"lvl{lvl}: fill-in did not fire"
+
+    def test_tracks_on_sparse_scene_160(self):
+        """Accuracy on the sparse family at the fast test resolution
+        (silhouette/crease edges only; probed ATE ~1.0 cm)."""
+        from revo_tpu.io.synthetic import sparse_scene
+
+        cfg = small_cfg()
+        scene = sparse_scene()
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 30, seed=3)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.02, f"sparse-scene ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+    @pytest.mark.slow  # ~40 s 640x480 end-to-end run
+    def test_ate_gate_640x480_sparse_fillin(self):
+        """End-to-end 640x480 VO on the edge-sparse scene: fill-in fires
+        (mechanism gate above) AND the trajectory stays accurate — the
+        ATE gate VERDICT r4 #6 noted was missing for this regime."""
+        from revo_tpu.io.synthetic import sparse_scene
+
+        cfg = SystemConfig()
+        scene = sparse_scene()
+        est, gt, vo = _run(
+            cfg, scene, render_sequence(scene, cfg.camera, 22, seed=2)
+        )
+        ate = absolute_trajectory_error(est, gt)
+        assert ate.rmse < 0.005, f"sparse 640x480 ATE {ate.rmse:.4f} m"
+        assert vo.n_tracking_lost == 0
+
+
 @pytest.mark.slow  # two ~30 s 640x480 end-to-end ATE gates
 class TestFullResolution:
     def test_ate_gate_640x480(self):
@@ -195,23 +260,28 @@ class TestFullResolution:
         assert ate.rmse < 0.005, f"640x480 ATE {ate.rmse:.4f} m"
         assert vo.n_tracking_lost == 0
 
-    def test_ate_gate_640x480_decimated(self):
-        """The same full-resolution gate at the capacity-0.5 throughput
-        operating point (deliberate uniform edge decimation; the bench's
-        cap50 numbers and run.py --capacity-scale 0.5): accuracy must stay
-        inside the SAME gate as the exact-fit run (probed 0.101 cm vs
-        0.059 exact; scripts/probes/cap_ate.py)."""
+    @pytest.mark.parametrize("margin", [0.65, 0.5])
+    def test_ate_gate_640x480_decimated(self, margin):
+        """The full-resolution gate at decimated capacity operating
+        points: 0.65 is the round-5 DEFAULT (the Pareto knee — bench
+        headline, scripts/probes/pareto.py + pareto_ate.py: stress
+        battery indistinguishable from exact-fit, ~30% more throughput),
+        0.5 the deeper throughput knob (run.py --capacity-scale).
+        Accuracy must stay inside the SAME gate as the exact-fit run
+        (probed r5: 0.60 / 1.01 mm vs 0.59 exact)."""
         from revo_tpu.autotune import calibrate_capacities
 
         cfg = SystemConfig()
         scene = box_scene()
         frames = list(render_sequence(scene, cfg.camera, 22, seed=2))
         cfg = calibrate_capacities(
-            cfg, [frames[0][0]], [frames[0][1]], margin=0.5
+            cfg, [frames[0][0]], [frames[0][1]], margin=margin
         )
         est, gt, vo = _run(cfg, scene, frames)
         ate = absolute_trajectory_error(est, gt)
-        assert ate.rmse < 0.005, f"cap50 640x480 ATE {ate.rmse:.4f} m"
+        assert ate.rmse < 0.005, (
+            f"margin-{margin} 640x480 ATE {ate.rmse:.4f} m"
+        )
         assert vo.n_tracking_lost == 0
 
 
