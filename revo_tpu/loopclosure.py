@@ -70,12 +70,21 @@ def verify_candidates_batched(
     max_error: float = 0.3,
     min_good_ratio: float = 2.0,
     min_good: int = 300,
+    mesh: "object | None" = None,
+    axis: str = "cand",
 ) -> List[Optional[Tuple[np.ndarray, float]]]:
     """Verify ALL candidate pairs in ONE vmapped tracking dispatch (the
     ``tracker.track_ring`` pattern) instead of a serial per-candidate host
     loop.  Element-wise identical to :func:`verify_candidate` — under vmap
     each element's LM while_loops evaluate their own predicates with masked
     updates — parity-gated in tests/test_loopclosure.py.
+
+    With ``mesh``, candidates are sharded over ``axis`` via shard_map (the
+    pod-scale form: each device verifies its slice of the candidate set
+    with the identical per-candidate program, so results are bit-equal to
+    the single-device batch; parity asserted in the driver's
+    dryrun_multichip).  The candidate list is padded to a multiple of the
+    axis size with copies of candidate 0; padded lanes are dropped.
 
     Returns one entry per candidate: ``(T_ab, error)`` or ``None``.
     """
@@ -111,10 +120,39 @@ def verify_candidates_batched(
         )
         return tracker.track_frames(kf, frame_b, R0, t0, cfg)
 
-    res = jax.vmap(one)(
-        structs, quads, frames_b,
-        jnp.asarray(T0[:, :3, :3]), jnp.asarray(T0[:, :3, 3]),
-    )
+    R0s = jnp.asarray(T0[:, :3, :3])
+    t0s = jnp.asarray(T0[:, :3, 3])
+    if mesh is None:
+        res = jax.vmap(one)(structs, quads, frames_b, R0s, t0s)
+    else:
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        n = len(cands)
+        n_dev = mesh.shape[axis]
+        pad = (-n) % n_dev
+
+        def _pad(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.repeat(x[:1], pad, axis=0)], axis=0
+            )
+
+        args = jax.tree.map(_pad, (structs, quads, frames_b, R0s, t0s))
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        def run(s, q, f, R, t):
+            return jax.vmap(one)(s, q, f, R, t)
+
+        res = jax.jit(run)(*args)
+        res = jax.tree.map(lambda x: x[:n], res)
     errs = np.asarray(res.error)
     goods = np.asarray(res.good)
     bads = np.asarray(res.bad)
