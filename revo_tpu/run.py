@@ -424,9 +424,11 @@ def main(argv=None) -> int:
              " S > 1 leaves headroom (exact tracking, the default); S < 1 "
              "deliberately undersizes so the uniform stride decimation "
              "subsamples edges every frame — solver time scales ~linearly "
-             "with S while accuracy degrades only fractionally (the 0.5 "
-             "operating point is accuracy-gated in tests; see "
-             "revo_tpu.autotune)",
+             "with S while accuracy degrades only fractionally.  0.65 is "
+             "the measured Pareto knee (the bench headline default: stress "
+             "battery indistinguishable from exact fit at ~30%% more "
+             "throughput); 0.65 and 0.5 are accuracy-gated in tests "
+             "(see revo_tpu.autotune, scripts/probes/pareto*.py)",
     )
     parser.add_argument(
         "--export-ply", action="store_true",
