@@ -180,6 +180,146 @@ class TestSoakLight:
 
 @pytest.mark.skipif(
     not os.environ.get("REVO_SOAK"),
+    reason="~30-min 1000-frame 640x480 scan soak; enable with REVO_SOAK=1",
+)
+class TestSoakScan1000:
+    """1000-frame 640x480 SCAN-MODE soak with a mid-run checkpoint/resume
+    (VERDICT r4 #8): the device-resident deployment path sustained over a
+    long run — promotions + ring eviction fire naturally along a 3-circuit
+    trajectory, the state is checkpointed to disk at frame 500 and the
+    resumed run must continue BIT-FOR-BIT, host RSS stays bounded (the
+    scan state is fixed-shape by construction — the long-context property
+    the reference structurally lacks, tracker.cpp:209-223 unbounded
+    past-cloud list), and an RSS-over-time plot lands in out/."""
+
+    def test_scan_soak_1000_frames_checkpoint_resume(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from revo_tpu.checkpoint import load_scan_state, save_scan_state
+        from revo_tpu.io.synthetic import render_trajectory_parallel
+        from revo_tpu.parallel.batch import vo_scan_from_state
+
+        n_frames = 1000
+        chunk = 100
+        ckpt_at = 500
+        cfg = _soak_cfg(SystemConfig())
+        cfg = dataclasses.replace(
+            cfg,
+            tracker=dataclasses.replace(
+                cfg.tracker, scan_relocalization=True, online_loop_closure=False
+            ),
+        )
+        scene = box_scene()
+        traj = loop_trajectory(
+            n_frames, radius=0.7, wobble=0.004, seed=5, circuits=3
+        )
+        # Render once (parallel pool), cache as compact u8/u16 — ~0.9
+        # MB/frame instead of 2.4 (build_frame consumes these directly).
+        cache = "/tmp/soak_scan_1000_640x480.npz"
+        if os.path.exists(cache):
+            z = np.load(cache)
+            g_all, d_all = z["g"], z["d"]
+        else:
+            frames = render_trajectory_parallel(
+                scene, cfg.camera, traj, seed=5, workers=3
+            )
+            g_all = np.stack([f[0] for f in frames]).astype(np.uint8)
+            d_all = np.stack(
+                [
+                    (f[1] * cfg.dataset.depth_scale_factor).astype(np.uint16)
+                    for f in frames
+                ]
+            )
+            np.savez(cache, g=g_all, d=d_all)
+
+        # Chunked scan: 10 dispatches of 100 frames, RSS sampled between
+        # chunks; chunk-chaining == continuous is gated in test_checkpoint.
+        from revo_tpu.parallel.batch import _init_state
+        from revo_tpu.frontend import build_frame
+
+        g0 = jnp.asarray(g_all[0])
+        d0 = jnp.asarray(d_all[0])
+        state = _init_state(build_frame(g0, d0, cfg), cfg)
+        poses_mem = [np.eye(4, dtype=np.float32)[None]]
+        rss = [resource.getrusage(resource.RUSAGE_SELF).ru_maxrss]
+        n_promoted = 0
+        ckpt_file = str(tmp_path / "scan_soak.npz")
+        for start in range(1, n_frames, chunk):
+            end = min(start + chunk, n_frames)
+            g_c = jnp.asarray(g_all[start:end])
+            d_c = jnp.asarray(d_all[start:end])
+            T_w, outs, state = vo_scan_from_state(state, g_c, d_c, cfg)
+            poses_mem.append(np.asarray(T_w))
+            n_promoted += int(np.asarray(outs.promoted).sum())
+            rss.append(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)
+            if end == ckpt_at + 1:
+                save_scan_state(ckpt_file, state)
+        poses_mem = np.concatenate(poses_mem)
+        assert poses_mem.shape[0] == n_frames
+        assert np.isfinite(poses_mem).all()
+
+        # Long-run health: promotions + eviction actually happened, and
+        # tracking stayed aligned with ground truth.
+        assert n_promoted > cfg.tracker.kf_history_size, (
+            f"only {n_promoted} promotions in 1000 frames"
+        )
+        ate = absolute_trajectory_error(poses_mem, traj)
+        assert ate.rmse < 0.08, f"scan soak ATE {ate.rmse:.4f} m"
+
+        # Bit-for-bit resume: reload the frame-500 checkpoint from disk
+        # and replay the second half; every pose must equal the in-memory
+        # continuation exactly.
+        state_r = load_scan_state(ckpt_file, cfg)
+        poses_resumed = []
+        for start in range(ckpt_at + 1, n_frames, chunk):
+            end = min(start + chunk, n_frames)
+            T_w, _, state_r = vo_scan_from_state(
+                state_r, jnp.asarray(g_all[start:end]),
+                jnp.asarray(d_all[start:end]), cfg,
+            )
+            poses_resumed.append(np.asarray(T_w))
+        poses_resumed = np.concatenate(poses_resumed)
+        assert np.array_equal(poses_resumed, poses_mem[ckpt_at + 1:]), (
+            "checkpoint/resume diverged from the continuous run"
+        )
+
+        # Memory: the scan state is fixed-shape, so host RSS must flatten
+        # after warmup — second-half growth < 10% of the first-half peak.
+        mid = len(rss) // 2
+        assert rss[-1] - rss[mid] < 0.10 * max(rss[mid], 1), (
+            f"rss still growing: {rss[mid]} -> {rss[-1]} kB"
+        )
+        # RSS-over-time plot (VERDICT r4 #8).
+        os.makedirs("out", exist_ok=True)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            xs = np.arange(len(rss)) * chunk
+            plt.figure(figsize=(7, 3))
+            plt.plot(xs, np.asarray(rss) / 1e6, marker="o")
+            plt.axvline(ckpt_at, ls="--", c="gray", label="checkpoint@500")
+            plt.xlabel("frames processed")
+            plt.ylabel("host RSS (GB)")
+            plt.title("1000-frame 640x480 scan soak: host memory")
+            plt.legend()
+            plt.tight_layout()
+            plt.savefig("out/soak_scan_1000_mem.png", dpi=110)
+            plt.close()
+        except Exception:
+            pass  # plotting is best-effort; the assertions above gate
+        print(
+            f"\nSCAN SOAK 1000x640x480: ATE {ate.rmse * 100:.2f} cm, "
+            f"promotions {n_promoted}, rss {rss[0] / 1e6:.2f} -> "
+            f"{rss[-1] / 1e6:.2f} GB, resume bit-exact"
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("REVO_SOAK"),
     reason="~15-min 640x480 soak; enable with REVO_SOAK=1",
 )
 class TestSoak640:
