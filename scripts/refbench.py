@@ -229,18 +229,38 @@ def write_dataset(grays, depths, gt, dist=None):
     return root
 
 
-def run_reference():
+def run_reference(timeout_s: float = 420.0):
+    """Run the reference binary; on its own shutdown race, harvest the
+    (complete) pose file anyway.
+
+    The reference DEADLOCKS nondeterministically at end-of-dataset: the
+    consumer loop polls isImgPyramidAvailable()/hasMoreImages()
+    (system.cpp:125-137, usleep spin), but mHasMoreImages is only updated
+    INSIDE getOldestPyramid (iowrapperRGBD.cpp:350) — if the consumer
+    drains the queue before the producer sets mAllImagesRead, no further
+    getOldestPyramid call ever happens and the main thread spins forever
+    (observed: 5 threads all in nanosleep/futex, 12 s CPU over 11 min,
+    poses file complete).  writePose flushes per frame (std::endl), so on
+    timeout the pose file is still the full tracked trajectory; only the
+    end-of-run VO report is lost."""
     pose_file = os.path.join(WORK, f"poses_{SEQ}.txt")
     if os.path.exists(pose_file):
         os.remove(pose_file)  # never parse a previous family's output
     t0 = time.perf_counter()
-    r = subprocess.run(
-        [REF_BIN, os.path.join(WORK, "settings.yaml"),
-         os.path.join(WORK, "dataset_synth.yaml")],
-        cwd=WORK, capture_output=True, text=True, timeout=900,
-    )
+    try:
+        r = subprocess.run(
+            [REF_BIN, os.path.join(WORK, "settings.yaml"),
+             os.path.join(WORK, "dataset_synth.yaml")],
+            cwd=WORK, capture_output=True, text=True, timeout=timeout_s,
+        )
+        out = r.stdout + r.stderr
+        rc = r.returncode
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or "") + (e.stderr or "")
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        rc = "timeout_shutdown_race"
     wall = time.perf_counter() - t0
-    out = r.stdout + r.stderr
     report = {}
     for key, pat in [
         ("frames", r"Frames Tracked:\s*([0-9.]+)"),
@@ -266,7 +286,7 @@ def run_reference():
                 T[:3, 3] = t
                 poses.append(T)
                 idxs.append(int(round(float(v[0]) * 30.0)))
-    return report, np.array(poses), np.array(idxs, int), wall, r.returncode
+    return report, np.array(poses), np.array(idxs, int), wall, rc
 
 
 def _quat_to_R(qx, qy, qz, qw):

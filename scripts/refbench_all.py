@@ -42,12 +42,23 @@ def main():
     rows = []
     for family, n in FAMILIES:
         print(f"=== {family} n={n} ===", flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "scripts", "refbench.py"),
-             str(n), family],
-            capture_output=True, text=True, timeout=4000, cwd=HERE,
-        )
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        lines = []
+        for attempt in range(2):
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(HERE, "scripts", "refbench.py"),
+                 str(n), family],
+                capture_output=True, text=True, timeout=4000, cwd=HERE,
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                break
+            # The reference's producer thread can starve under host
+            # contention and hang past its timeout (observed: fastpan-30
+            # timing out at 900 s, then finishing in 0.66 s on retry) —
+            # one retry covers the transient.
+            print(f"attempt {attempt + 1} failed, retrying: "
+                  f"{r.stderr[-300:]}", flush=True)
         if not lines:
             print(f"FAILED: {r.stderr[-800:]}", flush=True)
             rows.append({"family": family, "n_frames": n,
