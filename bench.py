@@ -66,7 +66,7 @@ def _budget_left() -> float:
     return MAX_SECONDS - (time.perf_counter() - _T_START)
 
 
-def _device_ok(timeout_s: float = 210.0) -> bool:
+def _device_ok(timeout_s: float | None = None) -> bool:
     """Probe the device with a REAL dispatch + fetch in a subprocess: the
     axon tunnel can wedge server-side such that jax.devices() still
     succeeds but the first executed op blocks forever (observed 2026-08-20:
@@ -77,6 +77,12 @@ def _device_ok(timeout_s: float = 210.0) -> bool:
     import subprocess
     import sys
 
+    if timeout_s is None:
+        # Mid-wedge the first dispatch can take 2-3 min even when the
+        # tunnel IS recovering (third episode: served after 153 s), so a
+        # patient operator can raise this; killing an almost-served probe
+        # re-seeds the wedge.
+        timeout_s = float(os.environ.get("REVO_BENCH_PROBE_TIMEOUT", "210"))
     code = (
         "import jax, numpy as np; x = jax.numpy.ones((8, 8)); "
         "v = float(np.asarray(jax.jit(lambda a: (a + 1.0).sum())(x))); "
