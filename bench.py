@@ -131,6 +131,34 @@ def _start_watchdog(stall_s: float = 420.0) -> None:
                 }
                 out.update(_PARTIAL)
                 print(json.dumps(out), flush=True)
+                # A tunnel wedge can strike AFTER the device probe passed
+                # (third episode: probe served, first real dispatch hung).
+                # Attempt a CPU-backend rerun so the artifact carries real
+                # labeled numbers; the partial line above already stands
+                # if the driver's clock runs out first.
+                if not os.environ.get("REVO_BENCH_CPU"):
+                    import subprocess
+                    import sys
+
+                    try:
+                        env = dict(
+                            os.environ,
+                            REVO_BENCH_CPU="1",
+                            REVO_BENCH_BUDGET="380",
+                        )
+                        r = subprocess.run(
+                            [sys.executable, os.path.abspath(__file__)],
+                            env=env, capture_output=True, text=True,
+                            timeout=560,
+                        )
+                        lines = [
+                            l for l in r.stdout.splitlines()
+                            if l.startswith("{")
+                        ]
+                        if lines:
+                            print(lines[-1], flush=True)
+                    except Exception:
+                        pass  # the stalled partial above stands
                 os._exit(2)
 
     threading.Thread(target=run, daemon=True).start()
