@@ -831,7 +831,9 @@ def main():
         _wait_for_healthy_tunnel()
     exact = _tpu_fps(cfg, grays, depths, gt_poses)
     _beat(**{
-        k: round(v, 2)
+        # round(., 6): a 2-decimal blanket would zero sub-mm RPE/spread
+        # values in the stalled-partial artifact.
+        k: round(v, 6)
         for k, v in exact.items()
         if v is not None and k not in ("ate_m", "ate_batch8_m")
     })
